@@ -1,0 +1,69 @@
+"""SparkSession factory with S3A credential wiring.
+
+Replaces the reference's per-script credential injection
+(``set_environment_variables``, download_file.py:59-71) and client
+construction (``connect_to_s3``, download_file.py:74-82,
+move_file.py:106-122): explicit credentials map onto Hadoop S3A
+configuration; when omitted, the S3A provider chain resolves them
+(env vars / instance profile), matching boto3's default-chain behavior.
+
+Scale posture (100 TB, SURVEY.md §4.2): AQE on (skew-join + partition
+coalescing), UTC session timezone, Arrow transfers on, S3A fast upload
+for massively-parallel object-store writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "s3spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    aws_access_key_id: str | None = None,
+    aws_secret_access_key: str | None = None,
+    aws_default_region: str | None = None,
+    s3_endpoint: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for S3-backed pipelines.
+
+    Credential precedence mirrors the reference (explicit args override
+    ambient env, download_file.py:59-71); unset values fall through to
+    the S3A default provider chain.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # S3A posture for real clusters; harmless on local file paths.
+        .config("spark.hadoop.fs.s3a.fast.upload", "true")
+        .config("spark.hadoop.fs.s3a.multipart.size", "67108864")
+        .config("spark.hadoop.fs.s3a.connection.maximum", "96")
+    )
+    if aws_access_key_id:
+        builder = builder.config("spark.hadoop.fs.s3a.access.key", aws_access_key_id)
+    if aws_secret_access_key:
+        builder = builder.config(
+            "spark.hadoop.fs.s3a.secret.key", aws_secret_access_key
+        )
+    if aws_default_region:
+        builder = builder.config(
+            "spark.hadoop.fs.s3a.endpoint.region", aws_default_region
+        )
+    if s3_endpoint:
+        builder = builder.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
