@@ -1,0 +1,320 @@
+"""File-capability layer: listing, matching, and the four verbs
+(ingest / publish / move / remove) over Hadoop FileSystem.
+
+This is the Spark-native re-expression of the reference's entire
+control surface (SURVEY.md §2.1):
+
+- listing        — R5-R8 (download_file.py:167-217, move_file.py:86-103,
+                   remove_files.py:83-93, upload_file.py:174-182)
+- regex/exact match — R9/R10 (download_file.py:220-229 + exact branches)
+- destination projection — R11-R16 (via s3spark.naming)
+- ingest (≈download, R17 download_file.py:232-246)
+- publish (≈upload, R18 upload_file.py:197-216)
+- move (copy+delete, R19 move_file.py:125-154)
+- remove (R20 remove_files.py:96-116)
+
+Design (SURVEY.md §3.2): the *matched-file set* is computed as a
+DataFrame (distributed listing via the ``binaryFile`` source when the
+prefix is huge; driver-side ``FileSystem.listFiles`` for metadata-only
+listings), while the verbs themselves are Hadoop FileSystem calls —
+metadata/byte operations, path-scheme agnostic, so ``file://`` in tests
+and ``s3a://`` in production traverse identical code.
+
+Deliberate divergences from reference bugs (SURVEY.md §8): full
+pagination always (D1/D2 — Hadoop's RemoteIterator pages internally),
+typed S3NoMatches instead of KeyError on empty prefix (D3), enumerate
+only when >1 match (D4), files-only listings (D5).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from s3spark import naming
+from s3spark.errors import S3FileNotFound, S3InvalidRegex, S3NoMatches
+
+LISTING_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("size", LongType(), False),
+        StructField("mtime", TimestampType(), True),
+    ]
+)
+
+EXACT_MATCH = "exact_match"
+REGEX_MATCH = "regex_match"
+
+
+# ------------------------------------------------------------------ plumbing
+
+
+def _jvm_fs(spark: SparkSession, url: str):
+    """Hadoop FileSystem for a URL's scheme (file://, s3a://, ...).
+
+    Checksum sidecars (.crc) are disabled: the reference moves opaque
+    bytes 1:1; LocalFileSystem's checksum files would pollute listings.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    uri = jvm.java.net.URI.create(url)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    try:
+        fs.setWriteChecksum(False)
+        fs.setVerifyChecksum(False)
+    except Exception:
+        pass
+    return fs
+
+
+def _jpath(spark: SparkSession, url: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(url)
+
+
+# ------------------------------------------------------------------- listing
+
+
+def list_files(spark: SparkSession, url: str, recursive: bool = True) -> DataFrame:
+    """Listing DataFrame ``(path, name, size, mtime)`` for a prefix.
+
+    Driver-side metadata walk via ``FileSystem.listFiles`` — the Hadoop
+    RemoteIterator pages through S3 LIST responses internally, so >1000
+    keys are handled correctly (fixes reference bugs D1/D2). Files only
+    (D5). Raises :class:`S3FileNotFound` (exit 201) on a missing prefix,
+    matching move_file.py:100-103.
+    """
+    import datetime
+
+    fs = _jvm_fs(spark, url)
+    path = _jpath(spark, url)
+    if not fs.exists(path):
+        raise S3FileNotFound(f"no such path: {url}")
+    rows = []
+    it = fs.listFiles(path, recursive)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        rows.append(
+            (
+                p,
+                naming.basename(p),
+                st.getLen(),
+                datetime.datetime.utcfromtimestamp(st.getModificationTime() / 1000.0),
+            )
+        )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def list_files_distributed(spark: SparkSession, url: str) -> DataFrame:
+    """Listing DataFrame via the ``binaryFile`` source: file discovery
+    uses Spark's InMemoryFileIndex (parallelized past
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold``) and the
+    scan is executed by tasks — the 100 TB path for huge prefixes.
+    Column pruning drops ``content``, so no file bytes are read.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(url)
+        .select(
+            F.col("path"),
+            naming.col_basename(F.col("path")).alias("name"),
+            F.col("length").alias("size"),
+            F.col("modificationTime").alias("mtime"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ matching
+
+
+def match_files(
+    listing: DataFrame,
+    pattern: str,
+    match_type: str = REGEX_MATCH,
+) -> DataFrame:
+    """Filter a listing like the reference matches keys (R9/R10).
+
+    ``regex_match`` is an unanchored ``re.search`` over the FULL path
+    (download_file.py:226) → ``rlike``; ``exact_match`` compares the
+    full path. Raises :class:`S3InvalidRegex` (203) on a bad pattern.
+    """
+    if match_type == REGEX_MATCH:
+        try:
+            re.compile(pattern)
+        except re.error as e:
+            raise S3InvalidRegex(f"invalid regex {pattern!r}: {e}") from e
+        return listing.filter(F.col("path").rlike(pattern))
+    return listing.filter(F.col("path") == pattern)
+
+
+def _collect_matches(
+    spark: SparkSession,
+    source_url: str,
+    source_folder: str,
+    source_file: str,
+    match_type: str,
+) -> list[str]:
+    """List + match + collect source paths (driver-side planning step).
+
+    The collect() here is a metadata operation over matched *paths*
+    (bounded by match count), never data rows.
+    """
+    folder = naming.clean_folder_name(source_folder)
+    base = f"{source_url.rstrip('/')}/{folder}" if folder else source_url.rstrip("/")
+    if match_type == EXACT_MATCH:
+        full = f"{base.rstrip('/')}/{source_file}"
+        fs = _jvm_fs(spark, full)
+        if not fs.exists(_jpath(spark, full)):
+            raise S3FileNotFound(f"no such file: {full}")
+        return [full]
+    listing = list_files(spark, base)
+    matched = match_files(listing, source_file, REGEX_MATCH)
+    paths = [r.path for r in matched.select("path").orderBy("path").collect()]
+    if not paths:
+        raise S3NoMatches(
+            f"no files matching {source_file!r} under {base} "
+            f"(reference exit 1, upload_file.py:241-243)"
+        )
+    return paths
+
+
+def _plan_destinations(
+    paths: list[str],
+    dest_url: str,
+    dest_folder: str,
+    dest_file: str | None,
+) -> list[tuple[str, str]]:
+    """(source, destination) pairs with reference naming semantics:
+    explicit name enumerated iff >1 match (D4), else source basename."""
+    folder = naming.clean_folder_name(dest_folder)
+    many = len(paths) > 1
+    out = []
+    for i, src in enumerate(sorted(paths), start=1):
+        name = naming.destination_file_name(
+            source_full_path=src,
+            dest_file_name=dest_file,
+            file_number=i if (dest_file and many) else None,
+        )
+        key = naming.combine_folder_and_file_name(folder, name) if folder else name
+        out.append((src, f"{dest_url.rstrip('/')}/{key}"))
+    return out
+
+
+# -------------------------------------------------------------------- verbs
+
+
+@dataclass
+class VerbResult:
+    """What a verb did: (source, destination) per file (dest=None for remove)."""
+
+    files: list[tuple[str, str | None]]
+
+    @property
+    def count(self) -> int:
+        return len(self.files)
+
+
+def _copy(spark: SparkSession, src: str, dst: str, delete_source: bool) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sp, dp = _jpath(spark, src), _jpath(spark, dst)
+    sfs, dfs = _jvm_fs(spark, src), _jvm_fs(spark, dst)
+    parent = dp.getParent()
+    if parent is not None and not dfs.exists(parent):
+        dfs.mkdirs(parent)  # reference makedirs, download_file.py:261-263
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, delete_source, True, conf)
+    if not ok:
+        raise S3FileNotFound(f"copy failed: {src} -> {dst}")
+
+
+def ingest(
+    spark: SparkSession,
+    *,
+    source_url: str,
+    source_file: str,
+    source_folder: str = "",
+    match_type: str = EXACT_MATCH,
+    dest_url: str,
+    dest_folder: str = "",
+    dest_file: str | None = None,
+) -> VerbResult:
+    """≈ reference download (R17): remote → local byte copy per match."""
+    paths = _collect_matches(spark, source_url, source_folder, source_file, match_type)
+    pairs = _plan_destinations(paths, dest_url, dest_folder, dest_file)
+    for src, dst in pairs:
+        _copy(spark, src, dst, delete_source=False)
+    return VerbResult(files=list(pairs))
+
+
+def publish(
+    spark: SparkSession,
+    *,
+    source_url: str,
+    source_file: str,
+    source_folder: str = "",
+    match_type: str = EXACT_MATCH,
+    dest_url: str,
+    dest_folder: str = "",
+    dest_file: str | None = None,
+) -> VerbResult:
+    """≈ reference upload (R18): local → remote. Same engine path as
+    ingest — Hadoop FileSystem is symmetric (multipart via fs.s3a.*)."""
+    return ingest(
+        spark,
+        source_url=source_url,
+        source_file=source_file,
+        source_folder=source_folder,
+        match_type=match_type,
+        dest_url=dest_url,
+        dest_folder=dest_folder,
+        dest_file=dest_file,
+    )
+
+
+def move(
+    spark: SparkSession,
+    *,
+    source_url: str,
+    source_file: str,
+    source_folder: str = "",
+    match_type: str = EXACT_MATCH,
+    dest_url: str,
+    dest_folder: str = "",
+    dest_file: str | None = None,
+) -> VerbResult:
+    """≈ reference move (R19): copy + delete per match, cross-"bucket",
+    non-atomic exactly like S3 COPY+DELETE (move_file.py:125-154)."""
+    paths = _collect_matches(spark, source_url, source_folder, source_file, match_type)
+    pairs = _plan_destinations(paths, dest_url, dest_folder, dest_file)
+    for src, dst in pairs:
+        _copy(spark, src, dst, delete_source=True)
+    return VerbResult(files=list(pairs))
+
+
+def remove(
+    spark: SparkSession,
+    *,
+    source_url: str,
+    source_file: str,
+    source_folder: str = "",
+    match_type: str = EXACT_MATCH,
+) -> VerbResult:
+    """≈ reference remove (R20): delete per match. Exact-match remove
+    verifies existence first (divergence D7 → typed 201)."""
+    paths = _collect_matches(spark, source_url, source_folder, source_file, match_type)
+    for p in paths:
+        fs = _jvm_fs(spark, p)
+        fs.delete(_jpath(spark, p), False)
+    return VerbResult(files=[(p, None) for p in paths])

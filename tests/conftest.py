@@ -4,7 +4,7 @@ import os
 
 import pytest
 
-SF_DIR = os.environ.get("S3SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("S3SPARK_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

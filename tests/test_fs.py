@@ -1,0 +1,210 @@
+"""File-verb integration tests over file:// (SURVEY.md §5.2).
+
+The Hadoop FileSystem abstraction makes the verbs path-scheme agnostic,
+so a pytest tmp dir stands in for an S3 bucket. Fixture names exercise
+the reference edge cases from FIXTURES.md: archive.tar.gz (first-dot
+enumeration), nested a/b/c.txt (unanchored full-path regex), >1000
+files (pagination regression D1/D2), zero-match (exit-1 semantics),
+duplicate basenames in different folders.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from s3spark import fs
+from s3spark.errors import S3FileNotFound, S3InvalidRegex, S3NoMatches
+
+
+@pytest.fixture()
+def bucket(tmp_path):
+    """A fake bucket: nested files with reference-edge-case names."""
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "archive.tar.gz").write_text("one")
+    (tmp_path / "src" / "data_a.csv").write_text("a,b\n1,2")
+    (tmp_path / "src" / "data_b.csv").write_text("a,b\n3,4")
+    (tmp_path / "src" / "a" / "b").mkdir(parents=True)
+    (tmp_path / "src" / "a" / "b" / "c.txt").write_text("nested")
+    (tmp_path / "src" / "a" / "data_a.csv").write_text("dup basename")
+    return tmp_path
+
+
+def url(p):
+    return f"file://{p}"
+
+
+def test_list_files_recursive_files_only(spark, bucket):
+    df = fs.list_files(spark, url(bucket / "src"))
+    names = {r.name for r in df.collect()}
+    assert names == {"archive.tar.gz", "data_a.csv", "data_b.csv", "c.txt"}
+    # directories excluded (divergence D5); sizes are real
+    sizes = {r.name: r.size for r in df.collect()}
+    assert sizes["c.txt"] == len("nested")
+
+
+def test_list_files_missing_prefix_raises_201(spark, bucket):
+    with pytest.raises(S3FileNotFound) as ei:
+        fs.list_files(spark, url(bucket / "nope"))
+    assert ei.value.exit_code == 201
+
+
+def test_match_regex_unanchored_full_path(spark, bucket):
+    listing = fs.list_files(spark, url(bucket / "src"))
+    # substring match on FULL path: 'a/b' hits the nested folder
+    got = {r.name for r in fs.match_files(listing, r"a/b/").collect()}
+    assert got == {"c.txt"}
+    # unanchored: 'data' matches both csvs in both folders
+    got = {r.path for r in fs.match_files(listing, r"data_.\.csv").collect()}
+    assert len(got) == 3
+
+
+def test_match_invalid_regex_raises_203(spark, bucket):
+    listing = fs.list_files(spark, url(bucket / "src"))
+    with pytest.raises(S3InvalidRegex) as ei:
+        fs.match_files(listing, "[unclosed")
+    assert ei.value.exit_code == 203
+
+
+def test_ingest_exact_match(spark, bucket, tmp_path):
+    out = tmp_path / "out"
+    res = fs.ingest(
+        spark,
+        source_url=url(bucket),
+        source_folder="src",
+        source_file="archive.tar.gz",
+        match_type=fs.EXACT_MATCH,
+        dest_url=url(out),
+    )
+    assert res.count == 1
+    assert (out / "archive.tar.gz").read_text() == "one"
+
+
+def test_ingest_exact_missing_raises_201(spark, bucket, tmp_path):
+    with pytest.raises(S3FileNotFound):
+        fs.ingest(
+            spark,
+            source_url=url(bucket),
+            source_folder="src",
+            source_file="missing.txt",
+            match_type=fs.EXACT_MATCH,
+            dest_url=url(tmp_path / "out"),
+        )
+
+
+def test_ingest_regex_enumerates_explicit_name_only_when_multiple(
+    spark, bucket, tmp_path
+):
+    out = tmp_path / "out"
+    # two matches + explicit dest name → enumerated before first dot (D4)
+    res = fs.ingest(
+        spark,
+        source_url=url(bucket),
+        source_folder="src",
+        source_file=r"data_.\.csv$",
+        match_type=fs.REGEX_MATCH,
+        dest_url=url(out),
+        dest_file="merged.backup.csv",
+    )
+    assert res.count == 3
+    assert sorted(os.listdir(out)) == [
+        "merged_1.backup.csv",
+        "merged_2.backup.csv",
+        "merged_3.backup.csv",
+    ]
+
+
+def test_ingest_single_match_no_enumeration(spark, bucket, tmp_path):
+    out = tmp_path / "out"
+    fs.ingest(
+        spark,
+        source_url=url(bucket),
+        source_folder="src",
+        source_file=r"archive.*gz$",
+        match_type=fs.REGEX_MATCH,
+        dest_url=url(out),
+        dest_file="only.tar.gz",
+    )
+    assert os.listdir(out) == ["only.tar.gz"]
+
+
+def test_ingest_no_dest_name_keeps_basenames(spark, bucket, tmp_path):
+    out = tmp_path / "out"
+    fs.ingest(
+        spark,
+        source_url=url(bucket / "src"),
+        source_file=r"\.csv$",
+        match_type=fs.REGEX_MATCH,
+        dest_url=url(out),
+    )
+    # duplicate basename data_a.csv collapses (last write wins) — same
+    # as the reference, which would overwrite local file repeatedly
+    assert sorted(os.listdir(out)) == ["data_a.csv", "data_b.csv"]
+
+
+def test_zero_matches_raises_exit_1(spark, bucket, tmp_path):
+    with pytest.raises(S3NoMatches) as ei:
+        fs.ingest(
+            spark,
+            source_url=url(bucket),
+            source_folder="src",
+            source_file=r"zzz\d+",
+            match_type=fs.REGEX_MATCH,
+            dest_url=url(tmp_path / "out"),
+        )
+    assert ei.value.exit_code == 1
+
+
+def test_move_copies_then_deletes_source(spark, bucket, tmp_path):
+    dest = tmp_path / "bucket2"
+    res = fs.move(
+        spark,
+        source_url=url(bucket),
+        source_folder="src",
+        source_file=r"data_a\.csv$",
+        match_type=fs.REGEX_MATCH,
+        dest_url=url(dest),
+        dest_folder="moved",
+    )
+    assert res.count == 2  # src/data_a.csv and src/a/data_a.csv
+    assert not (bucket / "src" / "data_a.csv").exists()
+    assert not (bucket / "src" / "a" / "data_a.csv").exists()
+    assert (dest / "moved" / "data_a.csv").exists()
+
+
+def test_remove_regex(spark, bucket):
+    res = fs.remove(
+        spark,
+        source_url=url(bucket),
+        source_folder="src",
+        source_file=r"\.csv$",
+        match_type=fs.REGEX_MATCH,
+    )
+    assert res.count == 3
+    assert not (bucket / "src" / "data_a.csv").exists()
+    assert (bucket / "src" / "archive.tar.gz").exists()
+
+
+def test_remove_exact_missing_raises_201(spark, bucket):
+    with pytest.raises(S3FileNotFound):
+        fs.remove(
+            spark,
+            source_url=url(bucket),
+            source_folder="src",
+            source_file="ghost.txt",
+            match_type=fs.EXACT_MATCH,
+        )
+
+
+def test_pagination_regression_1500_files(spark, tmp_path):
+    """Reference bugs D1/D2 lose keys past page 1 (1000). Our listing
+    must see all 1500."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(1500):
+        (d / f"f{i:04d}.dat").write_text("x")
+    df = fs.list_files(spark, url(d))
+    assert df.count() == 1500
+    # and the distributed listing path agrees
+    assert fs.list_files_distributed(spark, url(d)).count() == 1500
