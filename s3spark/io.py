@@ -35,7 +35,19 @@ DEC = "decimal(25,6)"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (parquet file or partitioned directory)."""
+    """Read one fixture table (parquet file or partitioned directory).
+
+    The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and
+    convert to a microsecond timestamp (matching DuckDB's own ns→µs
+    coercion) so downstream code sees a plain TimestampType column.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,4 +1,13 @@
 """Engine operator surface (SURVEY.md §2.3) — importing this package
 registers every verified query into ``s3spark.registry.REGISTRY``."""
 
-from s3spark.queries import aggregates, fileops  # noqa: F401
+from s3spark.queries import (  # noqa: F401
+    aggregates,
+    fileops,
+    filters,
+    joins,
+    scalars,
+    sets,
+    sorts,
+    windows,
+)

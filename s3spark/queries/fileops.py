@@ -99,7 +99,7 @@ def project_rename_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy("doc_id")
     wc = Window.partitionBy("source")
     name = F.lit("archive.tar.gz")
-    n = F.row_number().over(w)
+    n = F.row_number().over(w)  # rendered into a string — width-safe
     cnt = F.count(F.lit(1)).over(wc)
     dest = F.when(
         cnt > 1, naming.col_enumerate_name(name, n)
