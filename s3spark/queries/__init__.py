@@ -6,8 +6,11 @@ from s3spark.queries import (  # noqa: F401
     fileops,
     filters,
     joins,
+    llm,
+    multimodal,
     scalars,
     sets,
     sorts,
+    udx,
     windows,
 )

@@ -1,0 +1,534 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.3-J; north star mandate):
+deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine), similarity search (brute-force cosine top-k, LSH
+ANN, IVF ANN), text analysis (stats, language-ID heuristic, quality
+scoring, fingerprinting).
+
+Scale design notes are per-operator; the common theme: every
+all-pairs-shaped problem is reduced to a key-equality join (shingle,
+band-hash, bucket id) so Spark shuffles on a key instead of computing
+a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+# Stopword list for the language-ID / quality heuristics (fixture vocab).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# ------------------------------------------------------------------ helpers
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product via HOFs — sequential left fold,
+    same order DuckDB's list_dot_product uses, so results agree to the
+    last ulp and certainly at 6 dp."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# --------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT text, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+ORDER BY keeper_doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy with a deterministic representative
+    (min doc_id) — ``dropDuplicates`` keeps an arbitrary row, which
+    can't be oracle-checked.  At 100 TB: group by a 128-bit content
+    hash instead of the full text so the shuffle carries 16 bytes per
+    row, then rejoin winners to fetch payloads."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+_TRIGRAM_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, trigram FROM (
+    SELECT doc_id,
+           string_split(text, ' ') AS toks,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+    WHERE doc_id < 500
+  ) t, LATERAL (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram) g
+  WHERE i + 2 <= len(toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.trigram = b.trigram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  doc_a,
+  doc_b,
+  round(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON doc_a = s1.doc_id
+JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_TRIGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup detection via the shingle
+    inverted-index join — the exact-verification stage of a dedup
+    pipeline.
+
+    Shape: doc → distinct word-trigrams → self-equi-join on trigram →
+    pair intersection counts → |A∪B| via per-doc sizes → filter τ≥0.5.
+    The join is key-equality on the shingle, so Spark shuffles on the
+    shingle hash (no cross product).  At 100 TB the same plan holds
+    but hot shingles get dropped first (a frequency cap against join
+    skew) and candidate pairs come from MinHash bands (below) instead
+    of all shingles; doc_id < 500 bounds the candidate set identically
+    at every SF here."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    trigrams = F.expr(
+        "transform(sequence(0, size(split(text,' ')) - 3),"
+        " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
+        " split(text,' ')[i+2]))"
+    )
+    sh = (
+        d.select("doc_id", F.explode(trigrams).alias("trigram"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.trigram") == F.col("b.trigram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+    return (
+        inter.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_fuzzy_minhash", oracle=None)  # approximate → rows-only
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate generation (the scale path):
+    shingle → HashingTF sparse vector → MinHash signatures → banded
+    bucket join (approxSimilarityJoin) → Jaccard-distance filter.
+
+    This is the 100 TB plan: candidate pairs come from band-bucket
+    equality (shuffle on bucket key), and the exact Jaccard check
+    (dedup_ngram_jaccard) runs only on candidates.  Approximate →
+    rows-only here; tests/test_llm.py bounds recall against the exact
+    pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    trigrams = F.expr(
+        "transform(sequence(0, size(split(text,' ')) - 3),"
+        " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
+        " split(text,' ')[i+2]))"
+    )
+    toks = d.select("doc_id", trigrams.alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(toks).filter(F.expr("size(toks) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_simhash", oracle=None)  # hash-function-specific → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash document fingerprints, fully distributed:
+    token → xxhash64 → per-bit ±1 votes → sign-aggregated bits →
+    recomposed signature.  Near-dups then reduce to hamming-distance
+    buckets on signature prefixes.  One explode + one groupBy — the
+    shuffle carries (doc_id, token_hash) pairs only.  Hash-function
+    specific, so rows-only; tests pin identical-text ⇒ identical
+    signature and near-dup ⇒ small hamming distance."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+_EMB_COS_SQL = """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  round(
+    list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+    6
+  ) AS cos_sim
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_COS_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4) via self-join over
+    vec_id ordering.  Exact all-pairs — correct but O(n²): this is the
+    small-side verifier; the scale path is sim_ann_lsh/sim_ann_ivf
+    bucketing, which feeds candidate pairs into exactly this cosine
+    filter."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------- similarity
+
+
+_TOPK_SQL = """
+WITH d AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM d WHERE vec_id < 5),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    c.label AS neighbor_label,
+    list_dot_product(q.v, c.v)
+    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM q JOIN d c ON c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, neighbor_label, round(cos, 6) AS cos_sim, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@register("sim_cosine_topk", oracle=_TOPK_SQL)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 query vectors — the
+    exact baseline every ANN variant is measured against.  Pure SQL
+    HOFs (zip_with + aggregate), no MLlib, no Python.  The query side
+    is broadcast (5 rows), so the candidate scan is one pass, no
+    shuffle until the tiny top-k."""
+    e = table(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", "label", "embedding")
+    q = d.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(d, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos", 6).alias("cos_sim"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+@register("sim_ann_lsh", oracle=None)  # approximate → rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (BucketedRandomProjectionLSH,
+    seeded): each vector lands in a bucket per hash table; neighbor
+    candidates share a bucket — shuffle on bucket id, never all-pairs.
+    tests/test_llm.py measures recall vs sim_cosine_topk."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        "label",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=6,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    q = feats.filter(F.col("vec_id") < 5)
+    joined = model.approxSimilarityJoin(q, feats, 10.0, distCol="l2_dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .orderBy("query_id", "l2_dist", "neighbor_id")
+    )
+
+
+@register("sim_ann_ivf", oracle=None)  # approximate → rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF-style coarse quantization: 16 fixed centroids (the
+    first 16 vectors — deterministic, no training), every vector is
+    assigned to its nearest centroid (broadcast map-side, no shuffle),
+    and each query probes only its centroid's posting list.  This is
+    the canonical 100 TB ANN layout: the expensive scan becomes a
+    bucket-equality join on cluster_id; recall is tuned by probing
+    more centroids.  tests/test_llm.py measures recall vs exact."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    # assign: argmax cosine over broadcast centroids (map-side only)
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cluster_id"))
+    )
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cluster_id").alias("qc"),
+    )
+    cand = F.broadcast(q).join(
+        assigned,
+        (F.col("cluster_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", _cosine(F.col("qv"), F.col("embedding")))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cos_sim"),
+            "rn",
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT
+  doc_id,
+  n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' ')), 6) AS type_token_ratio,
+  round(length(replace(text, ' ', '')) * 1.0
+        / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token count, vocabulary size,
+    type-token ratio, mean token length) — all array HOFs, no Python,
+    no shuffle (pure map-side projection)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        F.round(n_unique / n_tokens, 6).alias("type_token_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens, 6
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_quality",
+    oracle=f"""
+SELECT
+  doc_id,
+  lang,
+  round(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({list(STOPWORDS)!r}, x))) * 1.0
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  CASE WHEN len(list_filter(string_split(text, ' '),
+                            x -> list_contains({list(STOPWORDS)!r}, x))) * 1.0
+            / len(string_split(text, ' ')) >= 0.05
+       THEN 'en' ELSE 'unk' END AS lang_guess,
+  round(least(1.0, len(string_split(text, ' ')) / 200.0) *
+        (1.0 - abs(length(replace(text, ' ', '')) * 1.0
+                   / len(string_split(text, ' ')) - 4.5) / 10.0), 6) AS quality_score
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword-hit ratio) + quality score
+    (length factor × token-shape factor) — the cheap first-pass filter
+    of a corpus pipeline, expressed entirely in codegen'd HOFs."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("double")
+    sw = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("double")
+    ratio = sw / n_tokens
+    avg_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens / 200.0) * (
+        1.0 - F.abs(avg_len - 4.5) / 10.0
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
+        F.round(quality, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(SUM(pos * (ascii(substr(word, 1, 1)) * 31 + length(word)))
+       % 1000000007 AS BIGINT) AS fingerprint
+FROM (
+  SELECT
+    doc_id,
+    unnest(string_split(text, ' ')) AS word,
+    generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint: positionally
+    weighted polynomial over tokens, mod 1e9+7 — exact integer
+    arithmetic, so Spark and DuckDB agree bit-for-bit (unlike
+    engine-specific hash functions).  Reordered tokens change the
+    fingerprint; appended whitespace does not."""
+    d = table(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
+    term = F.col("pos") * (
+        F.ascii(F.substring("word", 1, 1)).cast("long") * 31
+        + F.length("word").cast("long")
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(term) % 1000000007).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

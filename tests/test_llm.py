@@ -1,0 +1,114 @@
+"""Behavioral tests for the LLM-data operators (SURVEY.md §5.2):
+planted-duplicate collapse, approximate-operator recall bounds, and
+SimHash invariants — the guarantees an oracle hash-match can't express.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import s3spark.queries  # noqa: F401
+from s3spark.registry import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """A tiny documents.parquet with exact duplicates and a near-dup."""
+    d = tmp_path_factory.mktemp("planted")
+    base = "the fast key order sort table scan merge row value"
+    rows = [
+        {"doc_id": 0, "text": base, "lang": "en", "source": "src0",
+         "n_chars": len(base)},
+        {"doc_id": 1, "text": base, "lang": "en", "source": "src1",
+         "n_chars": len(base)},  # exact dup of 0
+        {"doc_id": 2, "text": base + " extra", "lang": "en", "source": "src2",
+         "n_chars": len(base) + 6},  # near dup
+        {"doc_id": 3, "text": "completely different words entirely here now",
+         "lang": "en", "source": "src3", "n_chars": 44},
+        {"doc_id": 4, "text": base, "lang": "en", "source": "src4",
+         "n_chars": len(base)},  # exact dup of 0
+    ]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_dedup_exact_collapses_planted_duplicates(spark, planted_dir):
+    out = REGISTRY["dedup_exact"].fn(spark, planted_dir).collect()
+    by_text = {r.text: r for r in out}
+    assert len(out) == 3  # 5 docs → 3 distinct texts
+    base = [r for r in out if r.n_copies == 3]
+    assert len(base) == 1 and base[0].keeper_doc_id == 0
+
+
+def test_dedup_ngram_jaccard_finds_planted_near_dup(spark, planted_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, planted_dir).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup: jaccard 1
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_fuzzy_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_simhash_identical_text_same_signature(spark, planted_dir):
+    sig = {r.doc_id: r.simhash for r in
+           REGISTRY["dedup_simhash"].fn(spark, planted_dir).collect()}
+    assert sig[0] == sig[1] == sig[4]  # exact dups → identical signature
+    # near-dup → small hamming distance; unrelated → larger
+    ham_near = bin((sig[0] ^ sig[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sig[0] ^ sig[3]) & (2**64 - 1)).count("1")
+    assert ham_near <= 16
+    assert ham_near < ham_far
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6"
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f} < 0.7"
+
+
+def test_fingerprint_is_order_sensitive(spark, tmp_path):
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma", "lang": "en", "source": "s",
+         "n_chars": 16},
+        {"doc_id": 1, "text": "gamma beta alpha", "lang": "en", "source": "s",
+         "n_chars": 16},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    fp = {r.doc_id: r.fingerprint for r in
+          REGISTRY["doc_fingerprint"].fn(spark, str(tmp_path)).collect()}
+    assert fp[0] != fp[1]
