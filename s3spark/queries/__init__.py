@@ -3,6 +3,7 @@ registers every verified query into ``s3spark.registry.REGISTRY``."""
 
 from s3spark.queries import (  # noqa: F401
     aggregates,
+    eventtime,
     fileops,
     filters,
     joins,

@@ -1,0 +1,8 @@
+"""Structured Streaming layer (SURVEY.md §2.3-K)."""
+
+from s3spark.streaming.ops import (  # noqa: F401
+    events_stream,
+    run_available_now,
+    stream_dedup,
+    stream_tumbling_counts,
+)

@@ -1,0 +1,87 @@
+"""Structured Streaming operators over the events fixture.
+
+The reference has no streaming at all (SURVEY.md §2.2); this is the
+north-star streaming surface: file-source streams with event-time
+watermarks, stateful dedup, and windowed aggregation, all runnable in
+``availableNow`` batch-catchup mode so results are deterministic and
+checkable against batch equivalents.
+
+Scale posture: file-source streaming at 100 TB means many small
+micro-batches (maxFilesPerTrigger); watermarks bound the dedup/window
+state so state stores don't grow without limit; checkpointing goes to
+the object store next to the data.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3spark.io import DEC
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream (same ns→µs timestamp handling
+    as the batch reader in s3spark.io.table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-source streams need a directory; glob-filter to the events
+    # table so sibling fixture tables are not picked up
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return sdf
+
+
+def stream_dedup(sdf: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked stateful dedup on the unique event_id.  The
+    watermark lets Spark evict dedup state older than the horizon —
+    without it, state grows unboundedly at 100 TB."""
+    return sdf.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_tumbling_counts(
+    sdf: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (append-mode compatible:
+    a window emits once its end passes the watermark)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion with the
+    availableNow trigger into a memory sink; return the materialized
+    result as a batch DataFrame."""
+    name = f"s3spark_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="s3spark-ckpt-")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
