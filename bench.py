@@ -25,7 +25,11 @@ from s3spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("s3spark-bench", shuffle_partitions=32)
+    spark = get_spark(
+        "s3spark-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once so per-query times measure the

