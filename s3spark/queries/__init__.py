@@ -3,9 +3,11 @@ registers every verified query into ``s3spark.registry.REGISTRY``."""
 
 from s3spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     eventtime,
     fileops,
     filters,
+    formats,
     joins,
     llm,
     multimodal,

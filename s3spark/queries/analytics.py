@@ -1,0 +1,151 @@
+"""Composite analytic queries (TPC-H-shaped) + decorrelated-subquery
+and skew-resistant shapes — the multi-operator pipelines that exercise
+operator *composition*, which is where planners break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import dsum, sql_dsum, table
+from s3spark.registry import register
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT
+  l.l_orderkey,
+  {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  o.o_orderdate,
+  COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-10.
+
+    Catalyst pushes both date predicates into the scans, broadcasts
+    the filtered customer side, and the final ORDER BY+LIMIT becomes
+    TakeOrderedAndProject — the canonical analytics pipeline at any
+    scale. l_orderkey added as tie-break for determinism."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .select("l_orderkey", "revenue", "o_orderdate", "n_lines")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "subquery_above_avg",
+    oracle=f"""
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+JOIN (
+  SELECT o_custkey, {sql_dsum('o_totalprice')} / COUNT(*) AS cust_avg
+  FROM orders GROUP BY o_custkey
+) a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > 1.5 * a.cust_avg
+ORDER BY o.o_custkey, o.o_orderkey
+""",
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders 50% above the customer's own
+    average), written pre-decorrelated as agg+self-join — exactly the
+    plan Catalyst would rewrite the correlated form into.  One shuffle
+    on o_custkey serves both the aggregate and the join."""
+    o = table(spark, sf_dir, "orders")
+    avg = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (dsum("o_totalprice") / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(avg, o.o_custkey == avg.k)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "subquery_scalar_global",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT {sql_dsum('o_totalprice')} / COUNT(*) * 1.7
+                      FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape via spark.sql (uncorrelated scalar
+    subqueries are supported natively; the single-row result is
+    broadcast into the filter)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("s3spark_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM s3spark_orders_sq
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) * 1.7
+          FROM s3spark_orders_sq)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: group on (key, salt) first, then
+    on key — the manual defense when one key dominates (here
+    l_returnflag 'N' is ~half the table).  Result identical to the
+    direct groupBy; the first shuffle spreads each hot key over 16
+    salt buckets so no single task owns a whole key.  (With AQE
+    skew handling on, Spark often does this for joins automatically;
+    salting remains the tool for skewed aggregations with
+    non-decomposable state.)"""
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty_part"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_part").alias("n"),
+            F.sum("qty_part").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

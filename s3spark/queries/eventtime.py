@@ -156,3 +156,38 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    executed to completion: per-user cumulative stats with explicit
+    per-key state.  Exact integer-cent accumulation makes the final
+    emission equal the batch aggregate bit-for-bit, so even this
+    carries a full oracle.  The final emission per user is selected
+    with a window (update mode emits one row per key per batch)."""
+    from pyspark.sql import Window
+
+    from s3spark.streaming import events_stream, run_available_now, stream_user_stats
+
+    out = run_available_now(
+        stream_user_stats(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts")
+        .orderBy("user_id")
+    )

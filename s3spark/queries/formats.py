@@ -1,0 +1,103 @@
+"""Dataset source/sink format coverage (SURVEY.md §2.3-A extension).
+
+The reference moves opaque files of any format; the engine's dataset
+layer must additionally *parse* the formats Spark ships connectors
+for.  Each roundtrip key writes through the sink, reads back, and
+checksums against an oracle computed on the ORIGINAL table — proving
+schema + values survive the format.
+
+Scale notes: CSV/JSON are row-oriented text — fine for ingest/egress
+edges, wrong for analytics storage; the partitioned-parquet key shows
+the layout that matters at 100 TB (directory partition pruning).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+_ROUNDTRIP_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_custkey) AS n_keys,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal,
+       MIN(c_name) AS first_name,
+       MAX(c_mktsegment) AS last_segment
+FROM customer
+"""
+
+
+def _checksum(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.sum(F.col("c_acctbal").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_mktsegment").alias("last_segment"),
+    )
+
+
+@register("sink_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV (header, explicit schema on read-back: CSV drops
+    types) → checksum equals the oracle on the source table."""
+    out = tempfile.mkdtemp(prefix="s3spark-csv-")
+    src = table(spark, sf_dir, "customer")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema(src.schema)  # CSV is untyped; reuse the source schema
+        .csv(out)
+    )
+    return _checksum(back)
+
+
+@register("sink_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → JSON lines → schema'd read-back → checksum."""
+    out = tempfile.mkdtemp(prefix="s3spark-json-")
+    src = table(spark, sf_dir, "customer")
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema(src.schema).json(out)
+    return _checksum(back)
+
+
+@register(
+    "sink_partitioned_pruning",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (partitionBy o_orderstatus) +
+    partition-pruned read: the o_orderstatus='O' predicate prunes at
+    the DIRECTORY level — non-matching partitions are never listed or
+    opened.  This is the core 100 TB layout decision: partition on the
+    hot filter column, bucket/sort within.  Checksum vs the unfiltered
+    source table through the oracle's WHERE."""
+    out = tempfile.mkdtemp(prefix="s3spark-part-")
+    src = table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

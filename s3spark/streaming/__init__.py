@@ -5,4 +5,5 @@ from s3spark.streaming.ops import (  # noqa: F401
     run_available_now,
     stream_dedup,
     stream_tumbling_counts,
+    stream_user_stats,
 )

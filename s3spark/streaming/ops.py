@@ -69,6 +69,55 @@ def stream_tumbling_counts(
     )
 
 
+def stream_user_stats(sdf: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    cumulative (event count, value total, last event time), state
+    explicitly managed per key across micro-batches — the shape used
+    for arbitrary streaming state Spark's built-ins can't express
+    (per-entity counters, custom sessionization, fraud scores).
+
+    Values carry 2 decimal places, so state accumulates exact integer
+    cents — the stateful analogue of the engine's decimal-routed sums
+    (no float drift across micro-batches).  At 100 TB state is
+    sharded by key across executors and checkpointed; a watermark
+    + timeout would bound it for unbounded keyspaces."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, last_ts timestamp"
+    )
+    state_schema = "n long, cents long, last_us long"
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+            mx = pdf["ts"].max()
+            last_us = max(last_us, int(pd.Timestamp(mx).value // 1000))
+        state.update((n, cents, last_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "total_value": cents / 100.0,
+                    "last_ts": pd.Timestamp(last_us * 1000),
+                }
+            ]
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion with the
     availableNow trigger into a memory sink; return the materialized
