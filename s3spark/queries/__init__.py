@@ -2,6 +2,7 @@
 registers every verified query into ``s3spark.registry.REGISTRY``."""
 
 from s3spark.queries import (  # noqa: F401
+    advanced,
     aggregates,
     analytics,
     eventtime,
