@@ -5,6 +5,7 @@ from s3spark.queries import (  # noqa: F401
     advanced,
     aggregates,
     analytics,
+    bucketing,
     eventtime,
     fileops,
     filters,
@@ -13,6 +14,7 @@ from s3spark.queries import (  # noqa: F401
     llm,
     multimodal,
     scalars,
+    scalars2,
     scans,
     sets,
     sorts,

@@ -73,6 +73,18 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
     assert not offenders, f"Python in hot path: {offenders}"
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The co-located join must read bucket-aligned files: SortMergeJoin
+    with NO shuffle (and no per-side sort — buckets are pre-sorted)."""
+    plan = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    join_part = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+    assert "SortMergeJoin" in plan
+    # the only exchanges allowed are AFTER the join (for the groupBy)
+    pre_join = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
 def test_exact_match_filter_becomes_pushed_equality(spark, sf_dir):
     from s3spark import fs
 
