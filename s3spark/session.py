@@ -52,18 +52,24 @@ def get_spark(
         .config("spark.hadoop.fs.s3a.multipart.size", "67108864")
         .config("spark.hadoop.fs.s3a.connection.maximum", "96")
     )
-    if aws_access_key_id:
-        builder = builder.config("spark.hadoop.fs.s3a.access.key", aws_access_key_id)
-    if aws_secret_access_key:
-        builder = builder.config(
-            "spark.hadoop.fs.s3a.secret.key", aws_secret_access_key
-        )
-    if aws_default_region:
-        builder = builder.config(
-            "spark.hadoop.fs.s3a.endpoint.region", aws_default_region
-        )
-    if s3_endpoint:
-        builder = builder.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint)
+    creds = {
+        "fs.s3a.access.key": aws_access_key_id,
+        "fs.s3a.secret.key": aws_secret_access_key,
+        "fs.s3a.endpoint.region": aws_default_region,
+        "fs.s3a.endpoint": s3_endpoint,
+    }
+    for k, v in creds.items():
+        if v:
+            builder = builder.config(f"spark.hadoop.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() on an already-running session ignores spark.hadoop.*
+    # builder configs; apply credentials to the live Hadoop conf so the
+    # reference's override-ambient semantics (download_file.py:59-71)
+    # hold regardless of session reuse.
+    hconf = spark._jsc.hadoopConfiguration()
+    for k, v in creds.items():
+        if v:
+            hconf.set(k, v)
+    return spark
