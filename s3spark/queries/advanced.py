@@ -223,6 +223,71 @@ def rollup_reuse_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_regression",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit via the built-in regression
+    aggregates (price ~ quantity per return flag) — the distributed
+    one-pass sufficient-statistics form (sums of x, y, xy, x²), which
+    is why it scales: state per group is 6 numbers.  Rounded to the
+    precision the float accumulation order supports."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT
+  CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+  COUNT(*) AS n,
+  round(MIN(o_totalprice), 2) AS lo,
+  round(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (50k buckets over order price) — the
+    map-side-combinable profile query used for skew detection before
+    choosing partition/bucket columns."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _UPSERT_CASE = (
     "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100 "
     "ELSE o_totalprice END"

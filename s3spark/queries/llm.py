@@ -500,6 +500,116 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_bpe",
+    oracle=r"""
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_tokens,
+  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')))
+    AS n_unique,
+  len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'),
+                  t -> length(t) >= 5)) AS n_long
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / symbol
+    runs — the GPT-2 pre-tokenizer shape minus casing/byte fallback):
+    token count, vocabulary size, long-token count per doc, all via
+    regexp_extract_all (codegen'd, no Python)."""
+    d = table(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 5))
+        .cast("long")
+        .alias("n_long"),
+    ).orderBy("doc_id")
+
+
+_CLUSTER_SQL = (
+    _TRIGRAM_SQL.replace("ORDER BY doc_a, doc_b", "")
+    .strip()
+    .rstrip(";")
+)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_CLUSTER_SQL}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc AS doc_id, MIN(lab) AS cluster_id
+FROM reach
+GROUP BY doc
+ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the
+    Jaccard≥0.5 pair graph, each doc labeled with the min doc_id of
+    its component (the canonical keeper).  Iterative label
+    propagation — min-label joins repeated to fixpoint — the
+    dedup-pipeline step that turns pairs into keep/drop decisions.
+    The loop is driver-controlled but every iteration is a distributed
+    join+groupBy; iterations = graph diameter (small for dup
+    clusters).  Oracle: DuckDB recursive CTE over the same pairs."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    edges = edges.cache()
+    labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
+        "cluster_id", F.col("doc")
+    )
+    for _ in range(20):  # >= diameter of any dup cluster
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.doc)
+            .groupBy(F.col("b").alias("doc2"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated.cache()
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), "cluster_id").orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
 SELECT

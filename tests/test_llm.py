@@ -101,6 +101,15 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.7, f"LSH recall {recall:.2f} < 0.7"
 
 
+def test_dedup_clusters_collapse_planted_group(spark, planted_dir):
+    """Docs 0,1,4 (exact dups) and 2 (near dup of 0) must land in one
+    cluster labeled by the min doc_id; doc 3 (unrelated) is absent
+    from the pair graph entirely."""
+    out = {r.doc_id: r.cluster_id for r in
+           REGISTRY["dedup_clusters"].fn(spark, planted_dir).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 4: 0}
+
+
 def test_fingerprint_is_order_sensitive(spark, tmp_path):
     rows = [
         {"doc_id": 0, "text": "alpha beta gamma", "lang": "en", "source": "s",
