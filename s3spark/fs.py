@@ -60,16 +60,45 @@ REGEX_MATCH = "regex_match"
 # ------------------------------------------------------------------ plumbing
 
 
+_AUTH_MARKERS = (
+    "access denied",
+    "accessdenied",
+    "status code: 403",
+    "status code: 401",
+    "invalidaccesskeyid",
+    "signaturedoesnotmatch",
+    "nocredential",
+    "no aws credentials",
+    "unable to load credentials",
+)
+
+
+def classify_fs_error(exc: Exception) -> Exception:
+    """Map store-layer failures onto the reference error taxonomy:
+    auth/credential failures → S3InvalidCredentials (exit 202,
+    move_file.py:117-122); everything else passes through."""
+    from s3spark.errors import S3InvalidCredentials
+
+    msg = str(exc).lower()
+    if any(m in msg for m in _AUTH_MARKERS):
+        return S3InvalidCredentials(str(exc))
+    return exc
+
+
 def _jvm_fs(spark: SparkSession, url: str):
     """Hadoop FileSystem for a URL's scheme (file://, s3a://, ...).
 
     Checksum sidecars (.crc) are disabled: the reference moves opaque
     bytes 1:1; LocalFileSystem's checksum files would pollute listings.
+    Connection/auth failures surface as S3InvalidCredentials (202).
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     uri = jvm.java.net.URI.create(url)
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    try:
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    except Exception as e:  # Py4JJavaError carries the JVM message
+        raise classify_fs_error(e) from e
     try:
         fs.setWriteChecksum(False)
         fs.setVerifyChecksum(False)

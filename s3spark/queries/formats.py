@@ -68,6 +68,62 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _checksum(back)
 
 
+@register("sink_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → ORC → read-back → checksum (ORC ships in Spark; the
+    other columnar format an S3 lake is likely to hold)."""
+    out = tempfile.mkdtemp(prefix="s3spark-orc-")
+    src = table(spark, sf_dir, "customer")
+    src.write.mode("overwrite").orc(out)
+    return _checksum(spark.read.orc(out))
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
+                          THEN o_totalprice + 1000
+                          ELSE o_totalprice END AS DECIMAL(25,6))) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-pipeline pattern: write the partitioned table once,
+    then OVERWRITE ONLY the 'P' partition with corrected rows
+    (partitionOverwriteMode=dynamic — untouched partitions keep their
+    files, the daily-rewrite primitive for S3 lakes without a table
+    format).  Checksum over the merged table proves exactly one
+    partition changed."""
+    out = tempfile.mkdtemp(prefix="s3spark-dpo-")
+    src = table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected = src.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000
+        )
+        corrected.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register(
     "sink_partitioned_pruning",
     oracle="""

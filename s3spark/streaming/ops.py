@@ -33,7 +33,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     if dict(sdf.dtypes).get("ts") == "bigint":
@@ -116,6 +116,57 @@ def stream_user_stats(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_merge_into(
+    sdf: DataFrame,
+    target_dir: str,
+    key_col: str = "event_id",
+) -> None:
+    """Incremental merge/upsert sink via foreachBatch: each micro-batch
+    is merged into a parquet target with anti-join ∪ batch (same
+    rewrite as the batch merge_upsert key) — the
+    streaming-ingestion-into-a-lake pattern.  foreachBatch gives
+    exactly-once per epoch against an idempotent rewrite; with a table
+    format the body becomes MERGE INTO."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates([key_col])
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            Path(target_dir).toUri(), conf
+        )
+        if fs.exists(Path(target_dir)):
+            # the previous epoch swapped files under this path — drop
+            # Spark's cached file listing or the read plans deleted files
+            spark.catalog.refreshByPath(target_dir)
+            target = spark.read.parquet(target_dir)
+            untouched = target.join(
+                batch_df.select(key_col), key_col, "left_anti"
+            )
+            merged = untouched.unionByName(batch_df)
+        else:
+            merged = batch_df  # first epoch: no target yet
+        # rewrite to a temp dir then swap — parquet has no transactional
+        # overwrite-while-reading; a table format removes this dance
+        tmp = target_dir + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if fs.exists(Path(target_dir)):
+            fs.delete(Path(target_dir), True)
+        fs.rename(Path(tmp), Path(target_dir))
+
+    ckpt = tempfile.mkdtemp(prefix="s3spark-merge-ckpt-")
+    q = (
+        sdf.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:

@@ -62,6 +62,60 @@ def test_stream_dedup_collapses_planted_duplicates(spark, tmp_path):
     assert deduped.select("event_id").distinct().count() == 100
 
 
+def test_stream_merge_into_upserts_incrementally(spark, tmp_path):
+    """Two source files arriving as separate micro-batches: the second
+    re-delivers 5 events with corrected values; the merged target must
+    hold exactly one row per event_id with the LAST delivery's value."""
+    import pandas as pd
+
+    from s3spark.streaming import events_stream, stream_merge_into
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    f1 = pd.DataFrame(
+        {
+            "event_id": range(20),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(20)],
+            "user_id": [i % 3 for i in range(20)],
+            "event_type": ["click"] * 20,
+            "value": [1.0] * 20,
+            "props": ['{"k": 1}'] * 20,
+        }
+    )
+    f1.to_parquet(src / "events.parquet")
+    target = str(tmp_path / "target")
+
+    stream_merge_into(events_stream(spark, str(src)), target)
+    assert spark.read.parquet(target).count() == 20
+
+    # second delivery: corrections for ids 0-4 + 5 new events
+    f2 = f1.iloc[:5].copy()
+    f2["value"] = 99.0
+    f3 = f1.iloc[:5].copy()
+    f3["event_id"] = range(100, 105)
+    pd.concat([f2, f3]).to_parquet(src / "events2.parquet")
+
+    stream_merge_into(events_stream(spark, str(src)), target)
+    out = spark.read.parquet(target)
+    assert out.count() == 25
+    assert out.filter("event_id < 5 AND value = 99.0").count() == 5
+    assert out.select("event_id").distinct().count() == 25
+
+
+def test_classify_fs_error_maps_auth_failures():
+    from s3spark.errors import S3InvalidCredentials
+    from s3spark.fs import classify_fs_error
+
+    e = classify_fs_error(RuntimeError("Status Code: 403; AccessDenied"))
+    assert isinstance(e, S3InvalidCredentials) and e.exit_code == 202
+    e = classify_fs_error(RuntimeError(
+        "Unable to load credentials from any provider in the chain"))
+    assert isinstance(e, S3InvalidCredentials)
+    passthrough = ValueError("disk full")
+    assert classify_fs_error(passthrough) is passthrough
+
+
 def test_stream_dedup_result_matches_batch_distinct(spark, sf_dir):
     deduped = run_available_now(stream_dedup(events_stream(spark, sf_dir)))
     batch_n = table(spark, sf_dir, "events").select("event_id").distinct().count()
