@@ -27,7 +27,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream (same ns→µs timestamp handling
     as the batch reader in s3spark.io.table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = (
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     # file-source streams need a directory; glob-filter to the events
     # table so sibling fixture tables are not picked up
     sdf = (
@@ -169,12 +173,18 @@ def stream_merge_into(
     q.awaitTermination()
 
 
-def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion with the
     availableNow trigger into a memory sink; return the materialized
-    result as a batch DataFrame."""
+    result as a batch DataFrame.  Pass the same ``checkpoint`` across
+    calls to resume incrementally (watermark + source offsets persist;
+    each call returns only that run's emissions)."""
     name = f"s3spark_stream_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="s3spark-ckpt-")
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="s3spark-ckpt-")
     q = (
         result.writeStream.format("memory")
         .queryName(name)

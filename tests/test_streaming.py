@@ -103,6 +103,84 @@ def test_stream_merge_into_upserts_incrementally(spark, tmp_path):
     assert out.select("event_id").distinct().count() == 25
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: the second delivers events 2 HOURS older than
+    the watermark horizon established by the first. With a 10-minute
+    watermark + append-mode tumbling agg, the late rows must not
+    create/extend windows in the emitted output."""
+    import time
+
+    import pandas as pd
+
+    from s3spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_tumbling_counts,
+    )
+
+    src = tmp_path / "late"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 06:00:00")
+
+    def mk(ids, ts_list):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": ts_list,
+                "user_id": [0] * len(ids),
+                "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ['{"k": 1}'] * len(ids),
+            }
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # parquet sink: the file sink supports checkpoint recovery
+        # (memory sink does not), so watermark + offsets resume
+        q = (
+            stream_tumbling_counts(
+                events_stream(spark, str(src)), watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshByPath(out_dir)
+        return spark.read.parquet(out_dir).collect()
+
+    # delivery 1: 60 events across 06:00-07:00 → watermark advances ≈06:49
+    mk(range(60), [base + pd.Timedelta(minutes=i) for i in range(60)]).to_parquet(
+        src / "events_a.parquet"
+    )
+    run()
+    # delivery 2: 30 events at 04:00 — far below the checkpointed
+    # watermark → must be dropped from state entirely
+    time.sleep(1.1)
+    mk(range(100, 130), [base - pd.Timedelta(hours=2)] * 30).to_parquet(
+        src / "events_b.parquet"
+    )
+    run()
+    # delivery 3: fresh events at 08:30 push the watermark past every
+    # earlier window end → those windows finally emit
+    time.sleep(1.1)
+    mk(range(200, 205), [base + pd.Timedelta(minutes=150 + i) for i in range(5)]).to_parquet(
+        src / "events_c.parquet"
+    )
+    out3 = run()
+    emitted = {(r.window_start, r.n_events) for r in out3}
+    # the 06:00 window emits with exactly the 60 on-time events
+    assert (pd.Timestamp("2024-01-01 06:00:00"), 60) in emitted, emitted
+    # the 04:00 window never materialized: its rows were late-dropped
+    assert not any(ws.hour == 4 for ws, _ in emitted), emitted
+
+
 def test_classify_fs_error_maps_auth_failures():
     from s3spark.errors import S3InvalidCredentials
     from s3spark.fs import classify_fs_error
