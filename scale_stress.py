@@ -1,0 +1,108 @@
+"""Scale-stress harness: replicate the sf0.1 fact tables 10× (~sf1,
+6M lineitem rows) into /tmp and time the fact-heavy queries at both
+scales.  This is the scaling-behavior evidence the fixed fixtures
+can't provide: per-row cost should DROP as fixed job overhead
+amortizes, and plans must not change shape.
+
+Usage: python scale_stress.py  → one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import s3spark.queries  # noqa: E402,F401
+from s3spark.registry import REGISTRY  # noqa: E402
+from s3spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/s3spark-sf1"
+REPLICAS = 10
+FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
+             "window_running", "q18_large_orders", "agg_salted_skew"]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{DST}/_built"):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    # dims pass through unchanged; facts replicate with offset keys so
+    # join fan-out per dim key scales 10x (the realistic direction)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    OFF = 10_000_000
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * OFF)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{DST}/orders.parquet")
+    )
+    (
+        lineitem.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * OFF)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(f"{DST}/lineitem.parquet")
+    )
+    open(f"{DST}/_built", "w").write("ok")
+
+
+def time_keys(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in FACT_KEYS:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(
+        "s3spark-scale-stress",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.ui.showConsoleProgress": "false",
+                    # fresh JVM: driver-memory applies (128 GiB box;
+                    # local mode puts executor state on the driver heap)
+                    "spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    # warm
+    REGISTRY["agg_groupby"].fn(spark, SRC).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    small = time_keys(spark, SRC)
+    big = time_keys(spark, DST)
+    ratios = {k: round(big[k] / small[k], 2) for k in small}
+    print(
+        json.dumps(
+            {
+                "sf0.1_sec": small,
+                "sf1_sec": big,
+                "ratio_10x_data": ratios,
+                "note": "ratio << 10 means fixed overhead amortizes; "
+                "plans unchanged",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
