@@ -71,6 +71,26 @@ def test_cli_move_exact_and_remove(bucket, tmp_path, capsys):
     assert not (bucket / "data" / "a.csv").exists()
 
 
+def test_cli_upload_regex(bucket, tmp_path, capsys):
+    remote = tmp_path / "remote-bucket"
+    rc = main(
+        [
+            "upload",
+            "--bucket-name", url(remote),
+            "--source-url", url(bucket),
+            "--source-folder-name", "data",
+            "--source-file-name-match-type", "regex_match",
+            "--source-file-name", r"\.csv$",
+            "--destination-folder-name", "landing/raw",
+        ]
+    )
+    assert rc == 0
+    assert sorted(p.name for p in (remote / "landing" / "raw").iterdir()) == [
+        "a.csv",
+        "b.csv",
+    ]
+
+
 def test_cli_exit_codes_match_reference(bucket, tmp_path, capsys):
     # missing exact file → 201 (EXIT_CODE_FILE_NOT_FOUND)
     rc = main(

@@ -103,6 +103,42 @@ def test_stream_merge_into_upserts_incrementally(spark, tmp_path):
     assert out.select("event_id").distinct().count() == 25
 
 
+def test_streaming_session_windows_subset_of_batch(spark, sf_dir):
+    """Session windows computed in actual streaming mode (append +
+    watermark) must be exactly a subset of the batch session_window
+    result: append emits only sessions closed by the final watermark,
+    and every emitted session must match the batch computation."""
+    from pyspark.sql import functions as F
+
+    from s3spark.registry import REGISTRY
+    from s3spark.streaming import events_stream, run_available_now
+
+    sdf = events_stream(spark, sf_dir)
+    streamed = run_available_now(
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        ),
+        output_mode="append",
+    ).collect()
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in REGISTRY["stream_session"].fn(spark, sf_dir).collect()
+    }
+    assert streamed, "no sessions emitted"
+    # emitted sessions must be most of the batch set (only sessions
+    # still open at the final watermark are withheld)
+    assert len(streamed) >= 0.9 * len(batch)
+    for r in streamed:
+        key = (r.user_id, r.session_start, r.session_end)
+        assert key in batch and batch[key] == r.n_events, key
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Two micro-batches: the second delivers events 2 HOURS older than
     the watermark horizon established by the first. With a 10-minute
