@@ -32,6 +32,9 @@ def _common_creds(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--aws-default-region", dest="aws_default_region", required=False)
     p.add_argument("--s3-endpoint", dest="s3_endpoint", required=False)
+    # reference: --s3-config fed botocore.client.Config (a Python-literal
+    # dict on the CLI); here it maps onto fs.s3a.* (s3spark.s3config)
+    p.add_argument("--s3-config", dest="s3_config", default=None, required=False)
 
 
 def _source_args(p: argparse.ArgumentParser) -> None:
@@ -79,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     _source_args(u)
     _dest_args(u)
     _common_creds(u)
+    # reference: --extra-args fed S3 ExtraArgs (SSE/ACL/...) as a
+    # Python-literal dict (upload_file.py:231)
+    u.add_argument("--extra-args", dest="extra_args", default=None, required=False)
 
     m = sub.add_parser("move", help="remote → remote copy+delete (reference move)")
     m.add_argument("--source-bucket-name", dest="source_bucket_name", required=True)
@@ -112,11 +118,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from s3spark.s3config import extra_args_to_hadoop, s3_config_to_hadoop
+
+    try:
+        hadoop_conf = s3_config_to_hadoop(getattr(args, "s3_config", None))
+        hadoop_conf.update(extra_args_to_hadoop(getattr(args, "extra_args", None)))
+    except (ValueError, SyntaxError) as e:
+        print(f"s3spark: invalid --s3-config/--extra-args literal: {e}", file=sys.stderr)
+        return 1
     pipe = S3Pipeline(
         aws_access_key_id=getattr(args, "aws_access_key_id", None),
         aws_secret_access_key=getattr(args, "aws_secret_access_key", None),
         aws_default_region=getattr(args, "aws_default_region", None),
         s3_endpoint=getattr(args, "s3_endpoint", None),
+        hadoop_conf=hadoop_conf,
     )
     try:
         if args.verb == "download":

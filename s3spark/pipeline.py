@@ -45,6 +45,7 @@ class S3Pipeline:
         aws_secret_access_key: str | None = None,
         aws_default_region: str | None = None,
         s3_endpoint: str | None = None,
+        hadoop_conf: dict[str, str] | None = None,
     ) -> None:
         self.spark = spark or get_spark(
             "s3spark-pipeline",
@@ -53,6 +54,11 @@ class S3Pipeline:
             aws_default_region=aws_default_region,
             s3_endpoint=s3_endpoint,
         )
+        # s3-config / extra-args knobs (s3spark.s3config) land on the
+        # live Hadoop conf, like the reference's per-invocation Config
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for k, v in (hadoop_conf or {}).items():
+            hconf.set(k, v)
 
     # -------------------------------------------------- file verbs (R17-R20)
 

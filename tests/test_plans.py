@@ -85,6 +85,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
 
 
+def test_bloom_filter_runtime_pruning_available(spark, sf_dir):
+    """Runtime row-level filtering: with a selective build side, Spark
+    injects a bloom_filter_agg on the dim keys and semi-filters the
+    fact scan before the SMJ — the modern alternative to manual
+    pre-filter joins at 100 TB. Conf-gated; asserted here so the
+    capability is pinned for the cluster profile."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from s3spark.io import table
+
+        o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_exact_match_filter_becomes_pushed_equality(spark, sf_dir):
     from s3spark import fs
 
