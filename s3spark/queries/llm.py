@@ -604,32 +604,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    edges = edges.cache()
+    edges = edges.localCheckpoint(eager=True)  # tiny by construction
     labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
         "cluster_id", F.col("doc")
     )
-    for _ in range(20):  # >= diameter of any dup cluster
+
+    def propagate(lbls):
         neighbor_min = (
-            edges.join(labels, edges.a == labels.doc)
+            edges.join(lbls, edges.a == lbls.doc)
             .groupBy(F.col("b").alias("doc2"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+        return lbls.join(neighbor_min, lbls.doc == F.col("doc2"), "left").select(
+            "doc",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+
+    # propagate twice between convergence checks: halves the number of
+    # driver-side jobs, and localCheckpoint truncates the join lineage
+    # that would otherwise deepen every iteration
+    for _ in range(10):  # 2 hops per loop >= diameter of dup clusters
+        updated = propagate(propagate(labels)).localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc")
             .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
             .count()
         )
-        labels = updated.cache()
+        labels = updated
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"), "cluster_id").orderBy(
