@@ -18,6 +18,7 @@ from s3spark.queries import (  # noqa: F401
     scans,
     sets,
     sorts,
+    text2,
     timeseries,
     udx,
     windows,

@@ -86,6 +86,51 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect_all",
+    oracle="""
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+ORDER BY nationkey
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): each nationkey appears
+    min(count_customer, count_supplier) times — the multiplicity-aware
+    variant of set_intersect."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .intersectAll(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 200
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+ORDER BY nationkey
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): removes one occurrence per match —
+    distinct from set semantics (set_except), and the form that
+    answers 'how many MORE customers than suppliers per nation'."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
     "set_except",
     oracle="""
 SELECT c_nationkey AS nationkey FROM customer
