@@ -13,6 +13,7 @@ from s3spark.queries import (  # noqa: F401
     joins,
     llm,
     multimodal,
+    robustness,
     scalars,
     scalars2,
     scans,
