@@ -10,6 +10,7 @@ from s3spark.queries import (  # noqa: F401
     fileops,
     filters,
     formats,
+    analytics2,
     joins,
     llm,
     multimodal,

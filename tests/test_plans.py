@@ -128,3 +128,32 @@ def test_exact_match_filter_becomes_pushed_equality(spark, sf_dir):
     listing = fs.list_files_distributed(spark, sf_dir)
     matched = fs.match_files(listing, f"{sf_dir}/nation.parquet", fs.EXACT_MATCH)
     assert matched.count() == 1
+
+
+def test_disjunctive_predicates_derive_per_side_pushdown(spark, sf_dir):
+    """q19: the OR-of-ANDs spans both join sides, so it can't push
+    whole — but Catalyst derives each side's implied disjunction and
+    pushes it into that scan, shrinking join inputs."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive")
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    li = next(s for s in scans if "l_quantity" in s)
+    p = next(s for s in scans if "p_brand" in s)
+    assert "l_quantity" in li.split("DataFilters:")[1]
+    assert "Brand#12" in p.split("DataFilters:")[1]
+
+
+def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
+    """join_range_bucketed: band-key equi join + residual must plan as
+    a hash/merge join — the whole point vs join_theta_range's BNLJ."""
+    plan = plan_of(spark, sf_dir, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """q4: correlated EXISTS with non-equi correlate becomes one
+    LeftSemi join carrying the inequality as residual; the quarter
+    filter reaches the orders scan."""
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plan[plan.index("PushedFilters") :].splitlines()[0]
