@@ -11,6 +11,7 @@ from s3spark.queries import (  # noqa: F401
     filters,
     formats,
     analytics2,
+    etl,
     joins,
     llm,
     multimodal,

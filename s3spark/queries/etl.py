@@ -1,0 +1,265 @@
+"""Warehouse-ETL and pipeline-shaped operators: SCD2 dimension build,
+funnel analysis, unpivot/melt, VARIANT semi-structured access, sketch
+percentiles, and corpus repetition scoring.
+
+The reference repo moves opaque bytes only (SURVEY.md §0); these are
+the transformation surface a Spark-native pipeline engine owes its
+users, each designed around one shuffle-minimal plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import davg, dsum, sql_davg, sql_dsum, table
+from s3spark.registry import register
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+SELECT
+  user_id,
+  event_type AS state,
+  ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    AS is_current
+FROM events
+ORDER BY user_id, valid_from, state
+""",
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each event opens a new
+    version of the user's state; `valid_to` is the next version's
+    start (NULL = current) — the lead-window formulation.
+
+    One shuffle on user_id, one window pass; no self-join.  At 100 TB
+    the per-key state is a single lookahead row, and the same plan
+    serves incremental runs when fed only changed users.  Tie-break on
+    event_id makes same-timestamp versions deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "state")
+    )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_after_signup,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click — the sequential-pattern
+    query behind every conversion dashboard.
+
+    Each stage is a groupBy(user) MIN joined to the next stage's
+    events; all three shuffles share the user_id key, so a cluster
+    co-partitions them (and AQE collapses the later tiny sides to
+    broadcasts).  No collect, no per-user iteration."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle=f"""
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total,
+       round({sql_davg('value')}, 6) AS mean
+FROM long
+GROUP BY measure
+ORDER BY measure
+""",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide measure columns → long (measure, value) rows
+    via ``DataFrame.unpivot`` (SQL ``stack``), then per-measure stats.
+
+    Unpivot is a zero-shuffle projection — each input row yields k
+    output rows inside the scan stage; only the final 4-group agg
+    exchanges.  The long format is what feature-store and
+    metrics-catalog pipelines want at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total"),
+            F.round(davg(F.col("value")), 6).alias("mean"),
+        )
+        .orderBy("measure")
+    )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+SELECT
+  CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_decile,
+  COUNT(*) AS n,
+  MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY k_decile
+ORDER BY k_decile
+""",
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary-encoded variant, then typed
+    ``try_variant_get`` extraction — the open-lakehouse answer to
+    schema-on-read JSON.
+
+    Unlike per-access ``get_json_object`` string re-parsing, the
+    variant parse happens once per row and fields are extracted from
+    the encoded form; malformed rows yield NULL (try_) instead of
+    failing the job."""
+    e = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+@register("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles: ``approx_percentile`` (KLL-style mergeable
+    sketch) at accuracy 10000 — the 100 TB path where exact
+    ``percentile`` (full sort / collect of the column per group) is
+    not an option.  Rows-only key; tests/test_llm.py pins the sketch
+    within 1% of the exact DuckDB quantile at sf0.01."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+b AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM t, UNNEST(range(1, len(w))) AS u(i)
+),
+counts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1 AS is_repetitive
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher-style quality filter): fraction of a
+    document's bigrams taken by its single most-frequent bigram; high
+    values flag boilerplate/spam for corpus cleaning.
+
+    Bigrams are built inside the row via an array-HOF ``transform``
+    over the token array (no self-join, no explode-then-lag), then one
+    explode + two aggregations both keyed on doc_id — the second
+    reuses the first's partitioning, so one real shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    frac = F.max("c").cast("double") / F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(frac, 6).alias("top_bigram_frac"),
+            (frac > 0.1).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

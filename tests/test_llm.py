@@ -121,3 +121,18 @@ def test_fingerprint_is_order_sensitive(spark, tmp_path):
     fp = {r.doc_id: r.fingerprint for r in
           REGISTRY["doc_fingerprint"].fn(spark, str(tmp_path)).collect()}
     assert fp[0] != fp[1]
+
+
+def test_approx_percentile_within_one_percent(spark, duck, sf_dir):
+    """agg_approx_percentile (rows-only key): the mergeable sketch at
+    accuracy 10000 must land within 1% of the exact quantile."""
+    from s3spark.registry import REGISTRY
+
+    row = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()[0]
+    exact = duck.execute(
+        "SELECT quantile_cont(o_totalprice, 0.5),"
+        "       quantile_cont(o_totalprice, 0.9),"
+        "       quantile_cont(o_totalprice, 0.99) FROM orders"
+    ).fetchone()
+    for got, want in zip((row.p50, row.p90, row.p99), exact):
+        assert abs(got - want) / want < 0.01
