@@ -18,6 +18,7 @@ from s3spark.queries import (  # noqa: F401
     robustness,
     scalars,
     scalars2,
+    scale_ops,
     scans,
     sets,
     sorts,

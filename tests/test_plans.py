@@ -157,3 +157,10 @@ def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q4_order_priority")
     assert "LeftSemi" in plan
     assert "o_orderdate" in plan[plan.index("PushedFilters") :].splitlines()[0]
+
+
+def test_keep_latest_uses_window_group_limit(spark, sf_dir):
+    """dedup_keep_latest: the rn=1 filter must push into the window as
+    a per-partition top-1 (WindowGroupLimit), not a full per-key sort."""
+    plan = plan_of(spark, sf_dir, "dedup_keep_latest")
+    assert "WindowGroupLimit" in plan
