@@ -136,3 +136,14 @@ def test_approx_percentile_within_one_percent(spark, duck, sf_dir):
     ).fetchone()
     for got, want in zip((row.p50, row.p90, row.p99), exact):
         assert abs(got - want) / want < 0.01
+
+
+def test_hll_union_estimate_within_five_percent(spark, duck, sf_dir):
+    """agg_hll_partitioned_union (rows-only key): the unioned per-nation
+    sketches must estimate global distinct customers within 5%."""
+    from s3spark.registry import REGISTRY
+
+    row = REGISTRY["agg_hll_partitioned_union"].fn(spark, sf_dir).collect()[0]
+    exact = duck.execute("SELECT COUNT(DISTINCT c_custkey) FROM customer").fetchone()[0]
+    assert row.n_sketches == 25
+    assert abs(row.est_distinct_customers - exact) / exact < 0.05
