@@ -25,7 +25,10 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/s3spark-sf1"
 REPLICAS = 10
 FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
-             "window_running", "q18_large_orders", "agg_salted_skew"]
+             "window_running", "q18_large_orders", "agg_salted_skew",
+             "join_salted_skew", "agg_bitmap_distinct",
+             "q4_order_priority", "q6_forecast_revenue",
+             "q7_volume_shipping"]
 
 
 def build(spark) -> None:
@@ -62,13 +65,19 @@ def build(spark) -> None:
 
 
 def time_keys(spark, sf_dir: str) -> dict[str, float]:
+    """Median of 3 after one discarded warm-up run: the first pass over
+    a freshly written sf1 dataset is OS-page-cache + JIT dominated
+    (observed 10-20x inflation) and says nothing about per-row cost."""
     out = {}
     for name in FACT_KEYS:
-        t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(sorted(times)[1], 3)
     return out
 
 
