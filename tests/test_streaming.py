@@ -234,3 +234,26 @@ def test_stream_dedup_result_matches_batch_distinct(spark, sf_dir):
     deduped = run_available_now(stream_dedup(events_stream(spark, sf_dir)))
     batch_n = table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert deduped.count() == batch_n
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    """SCD2 invariant: per user, version intervals tile the timeline —
+    each valid_to equals the next valid_from, exactly one open (NULL
+    valid_to) version per user, no overlaps."""
+    from s3spark.registry import REGISTRY
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    scd = REGISTRY["scd2_dimension"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("valid_from", "state")
+    chained = scd.withColumn("next_from", F.lead("valid_from").over(w))
+    # every closed version hands off exactly at the next version's start
+    broken = chained.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    ).count()
+    assert broken == 0
+    open_per_user = (
+        scd.filter(F.col("is_current")).groupBy("user_id").count()
+        .filter(F.col("count") != 1).count()
+    )
+    assert open_per_user == 0
