@@ -1,0 +1,143 @@
+"""TPC-H Q13/Q15/Q17 shapes — the remaining classic decorrelation
+patterns the fixture schema supports: outer-join distribution,
+argmax-over-aggregate, and correlated-average filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import dsum, sql_dsum, table
+from s3spark.registry import register
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the two-level aggregate — per-customer order counts
+    (LEFT join so zero-order customers count as 0, with a join-side
+    filter that must stay in the ON clause, not WHERE), then the
+    distribution of those counts.
+
+    First agg shuffles on custkey, second on the tiny count domain;
+    the ON-vs-WHERE distinction is the classic outer-join trap the
+    oracle pins."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: argmax over an aggregate — the supplier(s) whose
+    quarterly revenue equals the maximum.
+
+    The revenue view computes once and is reused for both the probe
+    and the MAX scalar (Spark caches it explicitly; at cluster scale
+    this is the materialized-CTE decision a planner must make, pinned
+    here rather than recomputed).  Decimal-summed revenue makes the
+    equality comparison exact — an argmax on raw double sums would be
+    partition-order dependent."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+SELECT round(CAST({sql_dsum('l.l_extendedprice')} / 7.0 AS DOUBLE), 6)
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated per-part average ("lines below 20% of
+    their part's mean quantity") decorrelated into a window AVG over
+    partkey in the same pass — no per-row subquery, one shuffle.
+
+    The brand filter applies after the window because the average is
+    over ALL lineitems of the part, not just the brand-filtered ones —
+    the classic correlation-scope subtlety this oracle pins."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    w = Window.partitionBy("l_partkey")
+    with_avg = li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        with_avg.filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .agg(
+            F.round((dsum(F.col("l_extendedprice")) / 7.0), 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
