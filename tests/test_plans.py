@@ -57,6 +57,10 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "udf_python",
         "udf_pandas",
         "udaf_pandas",
+        "udaf_cogrouped_pandas",
+        "udf_arrow_map",
+        "udtf_python_custom",
+        "source_python_datasource",
         "mm_decode_stub",
         "mm_frame_sample",
     }
@@ -164,3 +168,18 @@ def test_keep_latest_uses_window_group_limit(spark, sf_dir):
     a per-partition top-1 (WindowGroupLimit), not a full per-key sort."""
     plan = plan_of(spark, sf_dir, "dedup_keep_latest")
     assert "WindowGroupLimit" in plan
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """agg_multi_distinct: several COUNT(DISTINCT) over different
+    columns must plan as one Expand + two-level agg, not N jobs."""
+    plan = plan_of(spark, sf_dir, "agg_multi_distinct")
+    assert "Expand" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """join_partition_pruning_dynamic: the day filter arrives only via
+    the dim join, yet the fact scan must carry a runtime
+    dynamicpruningexpression partition filter."""
+    plan = plan_of(spark, sf_dir, "join_partition_pruning_dynamic")
+    assert "dynamicpruning" in plan.lower()
