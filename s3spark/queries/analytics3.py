@@ -210,3 +210,71 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round((dsum(num) / dsum(vol)), 6).alias("mkt_share"))
         .orderBy("o_year")
     )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+WITH line_flags AS (
+  SELECT l.l_orderkey,
+         l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS has_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+order_stats AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supps,
+         SUM(has_late) AS n_late_supps
+  FROM line_flags
+  GROUP BY l_orderkey
+)
+SELECT f.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+FROM line_flags f
+JOIN order_stats os ON os.l_orderkey = f.l_orderkey
+WHERE f.has_late = 1
+  AND os.n_supps > 1
+  AND os.n_late_supps = 1
+GROUP BY f.l_suppkey
+ORDER BY numwait DESC, s_suppkey
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = shipped >90 days after order date,
+    the fixture's substitute for receipt/commit dates): suppliers who
+    were the ONLY late supplier on a multi-supplier finished order.
+
+    The textbook form is a double-correlated EXISTS + NOT EXISTS back
+    into lineitem; the scalable rewrite replaces BOTH subqueries with
+    one (orderkey, suppkey) aggregate and one orderkey aggregate —
+    membership and lateness counts — turning four fact-table passes
+    into one, with every later stage operating on the (much smaller)
+    per-order summaries.  Both aggregates share the orderkey shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    line_flags = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("has_late"))
+    )
+    order_stats = line_flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("has_late").alias("n_late_supps"),
+    )
+    return (
+        line_flags.join(order_stats, "l_orderkey")
+        .filter(
+            (F.col("has_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    )

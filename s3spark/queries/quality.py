@@ -1,0 +1,169 @@
+"""Data-quality and composite-ML operators: declarative constraint
+checking (the expectations layer every production pipeline runs before
+publishing) and kNN majority-vote classification over embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+SELECT 'orders_custkey_referential' AS check_name,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50)
+UNION ALL
+SELECT 'events_event_id_unique',
+       (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) FROM
+         (SELECT COUNT(*) AS cnt FROM events GROUP BY event_id HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'documents_text_nonempty',
+       (SELECT COUNT(*) FROM documents
+        WHERE text IS NULL OR length(text) = 0)
+ORDER BY check_name
+""",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: four constraint families in one
+    result — referential integrity (orders→customer via anti join),
+    numeric range, key uniqueness (excess-count formulation), and
+    non-emptiness.  Each check is an independent aggregate; Spark runs
+    them as separate lightweight jobs unioned into a 4-row report.
+
+    The anti-join formulation of referential integrity is the one that
+    scales: no collected key set, just a broadcast (or shuffled) join
+    against the dimension — identical plan family at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+
+    ref = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("orders_custkey_referential").alias("check_name"),
+            "n_violations",
+        )
+    )
+    rng = (
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_quantity_range").alias("check_name"), "n_violations")
+    )
+    uniq = (
+        e.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations")
+        )
+        .select(F.lit("events_event_id_unique").alias("check_name"), "n_violations")
+    )
+    nonempty = (
+        d.filter(F.col("text").isNull() | (F.length("text") == 0))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("documents_text_nonempty").alias("check_name"), "n_violations")
+    )
+    return (
+        ref.unionByName(rng).unionByName(uniq).unionByName(nonempty)
+        .orderBy("check_name")
+    )
+
+
+@register(
+    "sim_knn_classify",
+    oracle="""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe, label AS true_label
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT p.probe_id, p.true_label, e.label AS cand_label,
+         list_cosine_similarity(p.pe, e.embedding) AS sim, e.vec_id
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+),
+topk AS (
+  SELECT probe_id, true_label, cand_label, sim, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT probe_id, true_label,
+       CAST(min(pred) AS INTEGER) AS predicted_label
+FROM (
+  SELECT probe_id, true_label, cand_label AS pred,
+         COUNT(*) AS votes,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY COUNT(*) DESC, cand_label) AS vr
+  FROM topk WHERE rn <= 7
+  GROUP BY probe_id, true_label, cand_label
+)
+WHERE vr = 1
+GROUP BY probe_id, true_label
+ORDER BY probe_id
+""",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by cosine similarity: for each probe vector,
+    the majority label among its 7 nearest neighbours (ties broken by
+    smaller label) — similarity search composed into a decision, the
+    label-propagation / weak-supervision primitive.
+
+    Probe side is a fixed 20-row broadcast against the candidate scan
+    (one pass); top-k per probe via window rank, vote via a second
+    tiny aggregation.  At scale the candidate scan swaps for the
+    IVF/LSH bucketed keys — same vote logic on top."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("true_label"),
+    )
+    cand = e.select("vec_id", "embedding", F.col("label").alias("cand_label"))
+    dot = F.aggregate(
+        F.zip_with("pe", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("sim", dot / (norm(F.col("pe")) * norm(F.col("embedding"))))
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 7
+    )
+    votes = topk.groupBy("probe_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), F.asc("cand_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("cand_label").cast("int").alias("predicted_label"),
+        )
+        .orderBy("probe_id")
+    )
