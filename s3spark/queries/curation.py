@@ -152,3 +152,57 @@ def scan_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("fmt")
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+         '.example.com/docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_replace(url, '\\?.*$', '')) AS curl
+  FROM urls
+)
+SELECT curl, COUNT(*) AS n_dups, CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM canon
+GROUP BY curl
+HAVING COUNT(*) > 1
+ORDER BY curl
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: messy URLs (case-varied hosts,
+    tracking query strings) normalize to a canonical form — lowercase,
+    query stripped — and duplicates collapse keeping the smallest id,
+    the crawl-frontier dedup every web corpus runs before content
+    hashing.  URLs are synthesized deterministically from fixture
+    columns so the oracle replays the exact same mess."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    canon = d.select(
+        "doc_id",
+        F.lower(F.regexp_replace(url, r"\?.*$", "")).alias("curl"),
+    )
+    return (
+        canon.groupBy("curl")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("curl")
+    )
