@@ -8,7 +8,7 @@ DATE+INTERVAL result types) recorded in the oracle casts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s3spark.io import table
@@ -84,3 +84,93 @@ def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "ts").alias("month_start"),
         F.date_format("ts", "yyyy-MM").alias("ym"),
     ).orderBy("event_id")
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 6)
+         AS wavg_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Weighted average (price weighted by quantity): ratio of two
+    decimal-exact sums, divided as double only at the end — the
+    portable formulation; a naive avg(price*qty)/avg(qty) or
+    float-accumulated ratio drifts with partition order."""
+    li = table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(num / den, 6).alias("wavg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_moving_zscore",
+    oracle="""
+SELECT event_id, user_id,
+       round((value - mavg) / NULLIF(msd, 0), 4) AS zscore,
+       abs(value - mavg) > 2 * msd AS is_anomaly
+FROM (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER w AS mavg,
+         stddev_samp(value) OVER w AS msd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+WHERE event_id < 3000
+ORDER BY event_id
+""",
+)
+def window_moving_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flag: each event's value against its
+    user's trailing-20 mean/stddev — the streaming-friendly outlier
+    monitor (state = one bounded window per key).
+
+    Rounded to 4 dp: windowed variance is numerically touchier than
+    sums (no decimal path for stddev), and 4 dp is far above both
+    engines' accumulated error while still pinning the math."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mavg"),
+        F.stddev_samp("value").over(w).alias("msd"),
+    )
+    return (
+        scored.filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                (F.col("value") - F.col("mavg"))
+                / F.when(F.col("msd") != 0, F.col("msd")),
+                4,
+            ).alias("zscore"),
+            (F.abs(F.col("value") - F.col("mavg")) > 2 * F.col("msd")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_id")
+    )
