@@ -3,6 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The printed line is kept compact (headline queries only, 2-dp) because
+the round-1 driver truncated the full 164-key payload to its tail
+("parsed": null in BENCH_r01.json); the complete per-key timing map is
+written to BENCH_DETAIL.json next to this script every run.
+
 Each query is timed as plan-build + execution to completion via a
 count/collect-free action: ``df.write.format("noop")`` exercises the
 full pipeline without materializing results into the driver.
@@ -20,6 +25,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import s3spark.queries  # noqa: E402,F401
 from s3spark.registry import REGISTRY  # noqa: E402
 from s3spark.session import get_spark  # noqa: E402
+
+# Keys surfaced in the one-line JSON payload (the full map goes to
+# BENCH_DETAIL.json). One representative per operator family from
+# SURVEY.md §2.3 so the driver-recorded line stays parseable (<2 KB).
+HEADLINE_KEYS = (
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "filter_comparison",
+    "project_arith",
+    "join_inner_equi",
+    "join_multiway",
+    "join_broadcast",
+    "join_asof",
+    "agg_groupby",
+    "agg_rollup",
+    "agg_count_distinct",
+    "window_ranking",
+    "window_running",
+    "sort_multi",
+    "limit_topk",
+    "topk_per_group",
+    "set_union_all",
+    "scalar_string",
+    "udf_pandas",
+    "dedup_exact",
+    "dedup_fuzzy_minhash",
+    "dedup_clusters",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_stats",
+    "stream_tumbling",
+    "stream_watermark_dedup",
+)
 
 
 def main() -> None:
@@ -52,14 +90,38 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             times[name] = -1.0
     total = round(sum(t for t in times.values() if t > 0), 4)
+    failures = sorted(k for k, t in times.items() if t < 0)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "failures": failures,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
+    headline = {
+        k: round(times[k], 2) for k in HEADLINE_KEYS if k in times
+    }
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": headline,
+                "n_queries": len(times),
+                "n_failed": len(failures),
+                "queries_file": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -1,40 +1,48 @@
 """Engine operator surface (SURVEY.md §2.3) — importing this package
-registers every verified query into ``s3spark.registry.REGISTRY``."""
+registers every verified query into ``s3spark.registry.REGISTRY``.
+
+Import order matters operationally: the driver's correctness window
+records keys in *registration order* and may cap how many it verifies,
+so the §2.3 core surface (scans → eventtime) registers first and the
+long-tail coverage modules register after it.
+"""
 
 from s3spark.queries import (  # noqa: F401
-    advanced,
-    aggregates,
-    analytics,
-    bucketing,
-    eventtime,
-    fileops,
+    # --- §2.3 core engine surface (register first) ---
+    scans,
     filters,
-    formats,
+    fileops,
+    joins,
+    aggregates,
+    windows,
+    sorts,
+    sets,
+    scalars,
+    udx,
+    llm,
+    eventtime,
+    # --- long-tail coverage modules ---
+    advanced,
+    analytics,
     analytics2,
     analytics3,
+    bucketing,
     coverage3,
     curation,
     etl,
-    joins,
-    llm,
+    formats,
     mlprep,
     multimodal,
     planner2,
     quality,
     robustness,
-    scalars,
     scalars2,
     scalars3,
     scale_ops,
     sketches,
-    scans,
-    sets,
-    sorts,
     sources2,
     streaming2,
     text2,
     timeseries,
-    udx,
     udx2,
-    windows,
 )

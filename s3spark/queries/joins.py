@@ -227,15 +227,19 @@ ORDER BY s_suppkey
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) theta join: customers whose balance is within
-    ±50 of each supplier's. Spark executes as broadcast nested-loop
-    with the small supplier side broadcast — the only sane plan for a
-    pure inequality join; at 100 TB one would band-bucket both sides
-    first (see dedup_fuzzy banding for that pattern)."""
+    ±50 of each supplier's. Spark executes as broadcast nested-loop;
+    the broadcast side must be the BOUNDED one — supplier is 15× smaller
+    than customer in TPC-H proportions, so supplier is built/broadcast
+    and the large customer side streams (plan-asserted BuildLeft in
+    tests/test_plans.py). The true 100 TB path for this predicate is
+    the banded equi-join form, ``join_range_bucketed`` (analytics2.py);
+    this key is the declared BNLJ baseline for it."""
     s = table(spark, sf_dir, "supplier")
     c = table(spark, sf_dir, "customer")
     return (
-        s.join(
-            F.broadcast(c).alias("c"),
+        F.broadcast(s)
+        .join(
+            c.alias("c"),
             F.col("c_acctbal").between(
                 F.col("s_acctbal") - 50, F.col("s_acctbal") + 50
             ),

@@ -154,6 +154,20 @@ def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_theta_range_broadcasts_the_bounded_side(spark, sf_dir):
+    """join_theta_range: the BNLJ must build/broadcast SUPPLIER (the
+    bounded 1:15 side), never customer — broadcasting the growing side
+    OOMs executors at scale.  Supplier is the left input, so the plan
+    must say BuildLeft, and the supplier scan must sit under the
+    broadcast exchange."""
+    plan = plan_of(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    exchange = plan[plan.index("BroadcastExchange") :]
+    scan = exchange[exchange.index("Scan parquet") :].splitlines()[0]
+    assert "supplier" in scan
+    assert "customer" not in scan
+
+
 def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
     """q4: correlated EXISTS with non-equi correlate becomes one
     LeftSemi join carrying the inequality as residual; the quarter
