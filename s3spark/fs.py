@@ -139,7 +139,56 @@ def list_files(spark: SparkSession, url: str, recursive: bool = True) -> DataFra
                 p,
                 naming.basename(p),
                 st.getLen(),
-                datetime.datetime.utcfromtimestamp(st.getModificationTime() / 1000.0),
+                # tz-aware UTC: naive datetimes would be reinterpreted in
+                # the driver's OS timezone by TimestampType.toInternal,
+                # shifting mtime on any non-UTC driver
+                datetime.datetime.fromtimestamp(
+                    st.getModificationTime() / 1000.0, tz=datetime.timezone.utc
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+# Above this many entries the driver-side RemoteIterator walk is
+# abandoned mid-stream and the listing re-issued as a distributed scan
+# (a 100M-object prefix must never serialize through one Python loop —
+# the failure mode the reference's own pagination bug foreshadowed).
+DRIVER_LISTING_THRESHOLD = 10_000
+
+
+def list_files_auto(
+    spark: SparkSession,
+    url: str,
+    threshold: int = DRIVER_LISTING_THRESHOLD,
+) -> DataFrame:
+    """Listing DataFrame with automatic driver/distributed routing.
+
+    Walks the driver-side iterator (cheap, no job) until ``threshold``
+    entries, then cuts over to :func:`list_files_distributed` so huge
+    prefixes are listed by executor tasks instead of a driver loop.
+    """
+    import datetime
+
+    fs = _jvm_fs(spark, url)
+    path = _jpath(spark, url)
+    if not fs.exists(path):
+        raise S3FileNotFound(f"no such path: {url}")
+    rows = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if len(rows) >= threshold:
+            return list_files_distributed(spark, url)
+        st = it.next()
+        p = st.getPath().toString()
+        rows.append(
+            (
+                p,
+                naming.basename(p),
+                st.getLen(),
+                datetime.datetime.fromtimestamp(
+                    st.getModificationTime() / 1000.0, tz=datetime.timezone.utc
+                ),
             )
         )
     return spark.createDataFrame(rows, LISTING_SCHEMA)
@@ -168,6 +217,21 @@ def list_files_distributed(spark: SparkSession, url: str) -> DataFrame:
 # ------------------------------------------------------------------ matching
 
 
+def col_key_relative(path):
+    """Store-relative text of a listing URL — what the reference's regex
+    actually sees: the bucket-relative key on S3 (download_file.py:226
+    matches ``folder/file`` keys, never ``s3://bucket/...``) or the
+    absolute local path on upload (upload_file.py:191 globs absolute
+    paths, no scheme). ``s3a://bucket/key`` → ``key``;
+    ``file:/tmp/x`` → ``/tmp/x``. Keeps scheme/bucket text out of the
+    match so anchored patterns (``^data/``) and bucket-name overlaps
+    behave exactly like the reference."""
+    # scheme://authority/rest  →  rest   (S3A, hdfs, ...)
+    rel = F.regexp_replace(path, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*/", "")
+    # scheme:/rest (no authority; Hadoop renders file:/tmp/x)  →  /rest
+    return F.regexp_replace(rel, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(?=/)", "")
+
+
 def match_files(
     listing: DataFrame,
     pattern: str,
@@ -175,8 +239,10 @@ def match_files(
 ) -> DataFrame:
     """Filter a listing like the reference matches keys (R9/R10).
 
-    ``regex_match`` is an unanchored ``re.search`` over the FULL path
-    (download_file.py:226) → ``rlike``; ``exact_match`` compares the
+    ``regex_match`` is an unanchored ``re.search`` (→ ``rlike``) over
+    the store-relative key text (download_file.py:226 sees the
+    bucket-relative key; upload_file.py:191 the absolute local path —
+    see :func:`col_key_relative`); ``exact_match`` compares the
     full path. Raises :class:`S3InvalidRegex` (203) on a bad pattern.
     """
     if match_type == REGEX_MATCH:
@@ -184,7 +250,7 @@ def match_files(
             re.compile(pattern)
         except re.error as e:
             raise S3InvalidRegex(f"invalid regex {pattern!r}: {e}") from e
-        return listing.filter(F.col("path").rlike(pattern))
+        return listing.filter(col_key_relative(F.col("path")).rlike(pattern))
     # exact match: Hadoop renders URIs with a scheme (file:/x, s3a://b/k);
     # accept the raw path too so callers can pass plain absolute paths
     stripped = F.regexp_replace(
@@ -205,7 +271,9 @@ def _collect_matches(
     """List + match + collect source paths (driver-side planning step).
 
     The collect() here is a metadata operation over matched *paths*
-    (bounded by match count), never data rows.
+    (bounded by match count), never data rows. Listing routes through
+    :func:`list_files_auto`: small prefixes stay on the driver, huge
+    ones are listed by a distributed scan.
     """
     folder = naming.clean_folder_name(source_folder)
     base = f"{source_url.rstrip('/')}/{folder}" if folder else source_url.rstrip("/")
@@ -215,7 +283,7 @@ def _collect_matches(
         if not fs.exists(_jpath(spark, full)):
             raise S3FileNotFound(f"no such file: {full}")
         return [full]
-    listing = list_files(spark, base)
+    listing = list_files_auto(spark, base)
     matched = match_files(listing, source_file, REGEX_MATCH)
     paths = [r.path for r in matched.select("path").orderBy("path").collect()]
     if not paths:

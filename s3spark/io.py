@@ -15,6 +15,10 @@ full parallelism (decimal sums still use partial aggregation + AQE).
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,21 +38,63 @@ TABLES = (
 DEC = "decimal(25,6)"
 
 
+# events fixture footer schema (FIXTURES.md) with ts:TIMESTAMP(NANOS)
+# requested as LongType — the reader serves the raw int64 nanos under an
+# explicit schema, so no session conf (nanosAsLong) has to be mutated.
+_EVENTS_NANOS_SCHEMA = (
+    "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (parquet file or partitioned directory).
 
     The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and
-    convert to a microsecond timestamp (matching DuckDB's own ns→µs
-    coercion) so downstream code sees a plain TimestampType column.
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long via an
+    explicit reader schema and convert to a microsecond timestamp
+    (matching DuckDB's own ns→µs coercion) so downstream code sees a
+    plain TimestampType column. Scoped to this read only — it does NOT
+    toggle ``spark.sql.legacy.parquet.nanosAsLong`` globally, so other
+    nanos parquet reads in the same session keep their own semantics.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        df = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_SCRATCH: dict[str, str] = {}
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(tag: str, fresh: bool = False) -> str:
+    """Process-lifetime scratch directory, one per tag.
+
+    Query operators that materialize intermediate files (format
+    round-trips, partitioned layouts, text corpora) reuse the same
+    directory across invocations — every writer there uses
+    mode("overwrite") — instead of leaking a fresh mkdtemp per call;
+    everything is removed at interpreter exit.
+
+    ``fresh=True`` returns a new subdirectory under the tag's root on
+    every call (streaming checkpoints must never be shared between
+    queries) while still being cleaned up at exit."""
+    d = _SCRATCH.get(tag)
+    if d is None:
+        if not _SCRATCH:
+            atexit.register(_cleanup_scratch)
+        d = tempfile.mkdtemp(prefix=f"s3spark-{tag}-")
+        _SCRATCH[tag] = d
+    if fresh:
+        return tempfile.mkdtemp(dir=d)
+    return d
 
 
 def dsum(col: Column | str) -> Column:

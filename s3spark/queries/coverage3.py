@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import scratch_dir, table
 from s3spark.registry import register
 
 
@@ -57,7 +57,7 @@ def scan_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ingestion path.  Parsing happens inside the scan stage
     (codegen'd regex, no Python); at 100 TB this is one pass with the
     same plan, text splits parallelize like any file source."""
-    out = tempfile.mkdtemp(prefix="s3spark-text-")
+    out = scratch_dir("text")
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     lines = d.select(
         F.concat(

@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import scratch_dir, table
 from s3spark.registry import register
 
 
@@ -125,7 +125,7 @@ def scan_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     yesterday's exports and today's lakehouse coexist in one query.
     unionByName needs only schema agreement; each scan keeps its own
     pushdown rules."""
-    out = tempfile.mkdtemp(prefix="s3spark-fmt-")
+    out = scratch_dir("fmt")
     base = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import scratch_dir, table
 from s3spark.registry import register
 
 _ROUNDTRIP_ORACLE = """
@@ -47,7 +47,7 @@ def _checksum(df: DataFrame) -> DataFrame:
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → CSV (header, explicit schema on read-back: CSV drops
     types) → checksum equals the oracle on the source table."""
-    out = tempfile.mkdtemp(prefix="s3spark-csv-")
+    out = scratch_dir("fmt-csv")
     src = table(spark, sf_dir, "customer")
     src.write.mode("overwrite").option("header", True).csv(out)
     back = (
@@ -61,7 +61,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sink_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → JSON lines → schema'd read-back → checksum."""
-    out = tempfile.mkdtemp(prefix="s3spark-json-")
+    out = scratch_dir("fmt-json")
     src = table(spark, sf_dir, "customer")
     src.write.mode("overwrite").json(out)
     back = spark.read.schema(src.schema).json(out)
@@ -72,7 +72,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → ORC → read-back → checksum (ORC ships in Spark; the
     other columnar format an S3 lake is likely to hold)."""
-    out = tempfile.mkdtemp(prefix="s3spark-orc-")
+    out = scratch_dir("fmt-orc")
     src = table(spark, sf_dir, "customer")
     src.write.mode("overwrite").orc(out)
     return _checksum(spark.read.orc(out))
@@ -99,7 +99,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     files, the daily-rewrite primitive for S3 lakes without a table
     format).  Checksum over the merged table proves exactly one
     partition changed."""
-    out = tempfile.mkdtemp(prefix="s3spark-dpo-")
+    out = scratch_dir("fmt-dpo")
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -143,7 +143,7 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     opened.  This is the core 100 TB layout decision: partition on the
     hot filter column, bucket/sort within.  Checksum vs the unfiltered
     source table through the oracle's WHERE."""
-    out = tempfile.mkdtemp(prefix="s3spark-part-")
+    out = scratch_dir("fmt-part")
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")

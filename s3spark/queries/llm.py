@@ -166,12 +166,15 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB plan: candidate pairs come from band-bucket
     equality (shuffle on bucket key), and the exact Jaccard check
-    (dedup_ngram_jaccard) runs only on candidates.  Approximate →
-    rows-only here; tests/test_llm.py bounds recall against the exact
-    pairs."""
+    (dedup_ngram_jaccard) runs only on candidates.  Runs over the FULL
+    documents table at every SF — the scale path must actually be
+    exercised at scale (only the exact all-pairs verifier stays
+    bounded); scale_stress.py records the 10×-docs ratio.  Approximate
+    → rows-only here; tests/test_llm.py bounds recall against the
+    exact pairs."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = table(spark, sf_dir, "documents")
     trigrams = F.expr(
         "transform(sequence(0, size(split(text,' ')) - 3),"
         " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
@@ -395,16 +398,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF-style coarse quantization: 16 fixed centroids (the
     first 16 vectors — deterministic, no training), every vector is
     assigned to its nearest centroid (broadcast map-side, no shuffle),
-    and each query probes only its centroid's posting list.  This is
-    the canonical 100 TB ANN layout: the expensive scan becomes a
-    bucket-equality join on cluster_id; recall is tuned by probing
-    more centroids.  tests/test_llm.py measures recall vs exact."""
+    and each query probes the posting lists of its 2 nearest centroids
+    (multi-probe).  This is the canonical 100 TB ANN layout: the
+    expensive scan becomes a bucket-equality join on cluster_id;
+    recall is tuned by probing more centroids.  Query norms are
+    precomputed ONCE on the (tiny) query side — never inside the
+    scored candidate join (the repo's measured ~3× rule, _norm
+    docstring).  tests/test_llm.py measures recall vs exact."""
     e = table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
-    # assign: argmax cosine over broadcast centroids (map-side only)
-    assigned = (
+    # rank all (vector, centroid) cosines once: rk=1 assigns the data
+    # side, rk<=2 gives each query its probe list (map-side broadcast)
+    ranked = (
         e.crossJoin(F.broadcast(cents))
         .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cv")))
         .withColumn(
@@ -413,24 +420,27 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
             ),
         )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cluster_id"))
     )
-    q = assigned.filter(F.col("vec_id") < 5).select(
+    assigned = (
+        ranked.filter(F.col("rk") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cluster_id"))
+        .withColumn("nc", _norm(F.col("embedding")))
+    )
+    q = ranked.filter((F.col("vec_id") < 5) & (F.col("rk") <= 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.col("cluster_id").alias("qc"),
+        _norm(F.col("embedding")).alias("nq"),
+        F.col("cent_id").alias("qc"),
     )
     cand = F.broadcast(q).join(
-        assigned.withColumn("nc", _norm(F.col("embedding"))),
+        assigned,
         (F.col("cluster_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cand.withColumn(
             "cos",
-            _dot(F.col("qv"), F.col("embedding"))
-            / (_norm(F.col("qv")) * F.col("nc")),
+            _dot(F.col("qv"), F.col("embedding")) / (F.col("nq") * F.col("nc")),
         )
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)

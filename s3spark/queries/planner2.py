@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import scratch_dir, table
 from s3spark.registry import register
 
 
@@ -67,7 +67,7 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
     THE mechanism for star-schema scans at 100 TB — without DPP this
     query reads the full fact table; tests/test_plans.py asserts the
     pruning subquery is present."""
-    out = tempfile.mkdtemp(prefix="s3spark-dpp-")
+    out = scratch_dir("dpp")
     e = table(spark, sf_dir, "events").withColumn(
         "day", F.col("ts").cast("date")
     )

@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import scratch_dir, table
 from s3spark.registry import register
 
 
@@ -98,7 +98,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     schemas (v2 adds a `region` column); mergeSchema unions them with
     NULL back-fill — the append-only lake evolution path.  Counts
     prove old rows surface with NULL and new rows carry the column."""
-    out = tempfile.mkdtemp(prefix="s3spark-evolve-")
+    out = scratch_dir("evolve")
     c = table(spark, sf_dir, "customer")
     c.filter(F.col("c_custkey") < 500).select("c_custkey").write.mode(
         "overwrite"

@@ -14,7 +14,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import dsum, sql_dsum, table
+from s3spark.io import dsum, scratch_dir, sql_dsum, table
 from s3spark.registry import register
 
 
@@ -111,7 +111,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the fixed 4 proves the mechanism.  Returns (row count,
     resulting file count) so the oracle checks both data preservation
     and the physical layout."""
-    out = tempfile.mkdtemp(prefix="s3spark-compact-")
+    out = scratch_dir("compact")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     # fragmented state: force a 32-way shuffle then write one file each
     li.repartition(32).write.mode("overwrite").parquet(f"{out}/fragmented")
@@ -142,7 +142,7 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt-record column for quarantine, good rows parse normally —
     PERMISSIVE mode's contract, the only viable one at 100 TB where a
     single bad row must never kill a 6-hour load."""
-    out = tempfile.mkdtemp(prefix="s3spark-csv-")
+    out = scratch_dir("csv-permissive")
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     dirty = e.select(
         F.when(

@@ -13,7 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import scratch_dir, table
 from s3spark.registry import register
 
 
@@ -57,7 +57,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the S3A committer in production) and are read back; the checksum
     aggregate must equal the oracle computed on the ORIGINAL table —
     proving the sink preserves rows and values exactly."""
-    out = tempfile.mkdtemp(prefix="s3spark-sink-")
+    out = scratch_dir("sink")
     src = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     src.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)

@@ -17,16 +17,23 @@ from __future__ import annotations
 
 from ast import literal_eval
 
-# botocore Config(...) kwargs → S3A conf
+# botocore Config(...) kwargs → S3A conf. botocore takes retries as a
+# nested dict ({'retries': {'max_attempts': N, 'mode': ...}}), which
+# _flatten renders as dotted keys — map those, not the bare 'retries'.
 S3_CONFIG_MAP = {
     "region_name": "fs.s3a.endpoint.region",
     "endpoint_url": "fs.s3a.endpoint",
     "max_pool_connections": "fs.s3a.connection.maximum",
     "connect_timeout": "fs.s3a.connection.establish.timeout",
     "read_timeout": "fs.s3a.connection.timeout",
-    "retries": "fs.s3a.retry.limit",
+    "retries.max_attempts": "fs.s3a.retry.limit",
     "s3.addressing_style": "fs.s3a.path.style.access",
 }
+
+# botocore retry modes have no S3A equivalent (S3A always retries with
+# its own exponential backoff policy) — accepted and dropped with a
+# warning rather than silently landing on an inert fs.s3a.ext.* key.
+_KNOWN_UNMAPPABLE = {"retries.mode", "retries.total_max_attempts"}
 
 # S3 ExtraArgs → S3A conf
 EXTRA_ARGS_MAP = {
@@ -60,10 +67,25 @@ def _flatten(d: dict, prefix: str = "") -> dict[str, object]:
 
 
 def _map(flat: dict[str, object], mapping: dict[str, str]) -> dict[str, str]:
+    import warnings
+
     conf = {}
     for k, v in flat.items():
         target = mapping.get(k)
         if target is None:
+            if k in _KNOWN_UNMAPPABLE:
+                warnings.warn(
+                    f"s3 config key {k!r} has no S3A equivalent; ignored",
+                    stacklevel=3,
+                )
+                continue
+            # unknown key: parked under fs.s3a.ext.* (inert to S3A) and
+            # warned — "passthrough" must not masquerade as support
+            warnings.warn(
+                f"s3 config key {k!r} is not mapped to an S3A setting; "
+                f"stored as fs.s3a.ext.{k} (no effect on transfers)",
+                stacklevel=3,
+            )
             target = f"fs.s3a.ext.{k}"
         if k == "s3.addressing_style":
             v = "true" if v == "path" else "false"

@@ -20,7 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3spark.io import DEC
+from s3spark.io import DEC, scratch_dir
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,14 +156,24 @@ def stream_merge_into(
         else:
             merged = batch_df  # first epoch: no target yet
         # rewrite to a temp dir then swap — parquet has no transactional
-        # overwrite-while-reading; a table format removes this dance
+        # overwrite-while-reading; a table format removes this dance.
+        # The swap moves the live target ASIDE first (never delete-then-
+        # rename: a crash between those two calls would destroy every
+        # epoch's data, not just the in-flight one) — at any instant one
+        # complete copy exists as either target or target.bak.
         tmp = target_dir + f".epoch{epoch_id}"
+        bak = target_dir + ".bak"
         merged.write.mode("overwrite").parquet(tmp)
-        if fs.exists(Path(target_dir)):
-            fs.delete(Path(target_dir), True)
+        if fs.exists(Path(bak)):
+            fs.delete(Path(bak), True)  # leftover from a prior crash
+        had_target = fs.exists(Path(target_dir))
+        if had_target:
+            fs.rename(Path(target_dir), Path(bak))
         fs.rename(Path(tmp), Path(target_dir))
+        if had_target:
+            fs.delete(Path(bak), True)
 
-    ckpt = tempfile.mkdtemp(prefix="s3spark-merge-ckpt-")
+    ckpt = scratch_dir("merge-ckpt", fresh=True)
     q = (
         sdf.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)
@@ -184,7 +194,7 @@ def run_available_now(
     calls to resume incrementally (watermark + source offsets persist;
     each call returns only that run's emissions)."""
     name = f"s3spark_stream_{uuid.uuid4().hex[:12]}"
-    ckpt = checkpoint or tempfile.mkdtemp(prefix="s3spark-ckpt-")
+    ckpt = checkpoint or scratch_dir("ckpt", fresh=True)
     q = (
         result.writeStream.format("memory")
         .queryName(name)

@@ -60,6 +60,46 @@ def test_match_regex_unanchored_full_path(spark, bucket):
     assert len(got) == 3
 
 
+def test_match_regex_is_key_relative_not_scheme(spark, bucket):
+    """The regex sees store-relative text (ADVICE): anchored patterns
+    work against the path, and scheme/bucket text is unmatchable —
+    'file:' must not become part of the searchable key."""
+    listing = fs.list_files(spark, url(bucket / "src"))
+    # anchored on the absolute local path (reference upload semantics:
+    # regex over glob'd absolute paths, no scheme text)
+    anchored = fs.match_files(listing, rf"^{bucket}/src/data_a\.csv$")
+    assert {r.name for r in anchored.collect()} == {"data_a.csv"}
+    # scheme text is stripped before matching: 'file:' never matches
+    assert fs.match_files(listing, r"^file:").count() == 0
+
+
+def test_key_relative_strips_authority_urls(spark):
+    """s3a://bucket/key → key (bucket-relative, like the reference's
+    list_objects_v2 keys); an anchored ^data/ pattern must hit."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("s3a://prod-data-bucket/data/x.csv",),
+            ("s3a://prod-data-bucket/other/data/y.csv",),
+            ("file:/tmp/data/z.csv",),
+        ],
+        "path string",
+    )
+    rel = df.select(fs.col_key_relative(F.col("path")).alias("k"))
+    assert [r.k for r in rel.collect()] == [
+        "data/x.csv",
+        "other/data/y.csv",
+        "/tmp/data/z.csv",
+    ]
+    # a pattern overlapping the bucket name must not over-match
+    listing = df.withColumn("name", F.lit("n")).withColumn(
+        "size", F.lit(1).cast("long")
+    ).withColumn("mtime", F.lit(None).cast("timestamp"))
+    assert fs.match_files(listing, "prod-data").count() == 0
+    assert fs.match_files(listing, r"^data/").count() == 1
+
+
 def test_match_invalid_regex_raises_203(spark, bucket):
     listing = fs.list_files(spark, url(bucket / "src"))
     with pytest.raises(S3InvalidRegex) as ei:
@@ -208,3 +248,23 @@ def test_pagination_regression_1500_files(spark, tmp_path):
     assert df.count() == 1500
     # and the distributed listing path agrees
     assert fs.list_files_distributed(spark, url(d)).count() == 1500
+
+
+def test_listing_auto_routes_to_distributed_past_threshold(spark, tmp_path):
+    """_collect_matches' listing switches off the driver loop for big
+    prefixes: past the threshold the plan must be a distributed
+    binaryFile scan, below it a driver-materialized local table."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(1500):
+        (d / f"f{i:04d}.dat").write_text("x")
+
+    small = fs.list_files_auto(spark, url(d))  # default threshold 10k
+    assert "Scan ExistingRDD" in small._jdf.queryExecution().executedPlan().toString() or \
+        "LocalTableScan" in small._jdf.queryExecution().executedPlan().toString()
+    assert small.count() == 1500
+
+    big = fs.list_files_auto(spark, url(d), threshold=1000)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan
+    assert big.count() == 1500

@@ -84,8 +84,10 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()
     }
+    # 2-probe IVF measures 0.92 at sf0.01 / 1.0 at sf0.1; floor set
+    # with margin but far above the single-probe 0.6 era
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6"
+    assert recall >= 0.85, f"IVF recall {recall:.2f} < 0.85"
 
 
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):

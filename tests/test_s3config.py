@@ -32,9 +32,22 @@ def test_extra_args_maps_sse_and_acl():
     assert conf["fs.s3a.acl.default"] == "bucket-owner-full-control"
 
 
-def test_unknown_keys_pass_through_not_dropped():
-    conf = extra_args_to_hadoop("{'ContentType': 'text/csv'}")
+def test_unknown_keys_pass_through_with_warning():
+    with pytest.warns(UserWarning, match="not mapped"):
+        conf = extra_args_to_hadoop("{'ContentType': 'text/csv'}")
     assert conf == {"fs.s3a.ext.ContentType": "text/csv"}
+
+
+def test_retries_nested_dict_maps_to_retry_limit():
+    # botocore Config(retries={'max_attempts': 7, 'mode': 'standard'})
+    # — max_attempts reaches S3A's retry.limit; mode (no S3A
+    # equivalent) is dropped with a warning, never an inert ext key
+    with pytest.warns(UserWarning, match="no S3A equivalent"):
+        conf = s3_config_to_hadoop(
+            "{'retries': {'max_attempts': 7, 'mode': 'standard'}}"
+        )
+    assert conf["fs.s3a.retry.limit"] == "7"
+    assert not any("retries.mode" in k for k in conf)
 
 
 def test_empty_and_invalid_literals():
