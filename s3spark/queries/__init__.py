@@ -26,13 +26,16 @@ from s3spark.queries import (  # noqa: F401
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     bucketing,
     coverage3,
+    coverage4,
     curation,
     etl,
     formats,
     mlprep,
     multimodal,
+    pipeline2,
     planner2,
     quality,
     robustness,

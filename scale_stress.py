@@ -30,6 +30,15 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              "q4_order_priority", "q6_forecast_revenue",
              "q7_volume_shipping"]
 
+# Document-table keys scale with `documents` rows, which the fact
+# replicator leaves untouched — measure them across the fixtures' own
+# 10× doc growth (sf0.01: 500 docs → sf0.1: 5,000 docs) instead.
+# dedup_fuzzy_minhash is unbounded as of round 2; sub-linear growth
+# here is the evidence the 500-doc bound used to hide.
+DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats"]
+DOC_SMALL = "/root/testdata/sf0.01"
+DOC_BIG = SRC  # sf0.1
+
 
 def build(spark) -> None:
     from pyspark.sql import functions as F
@@ -64,12 +73,12 @@ def build(spark) -> None:
     open(f"{DST}/_built", "w").write("ok")
 
 
-def time_keys(spark, sf_dir: str) -> dict[str, float]:
+def time_keys(spark, sf_dir: str, keys=FACT_KEYS) -> dict[str, float]:
     """Median of 3 after one discarded warm-up run: the first pass over
     a freshly written sf1 dataset is OS-page-cache + JIT dominated
     (observed 10-20x inflation) and says nothing about per-row cost."""
     out = {}
-    for name in FACT_KEYS:
+    for name in keys:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times = []
@@ -100,12 +109,18 @@ def main() -> None:
     small = time_keys(spark, SRC)
     big = time_keys(spark, DST)
     ratios = {k: round(big[k] / small[k], 2) for k in small}
+    doc_small = time_keys(spark, DOC_SMALL, DOC_KEYS)
+    doc_big = time_keys(spark, DOC_BIG, DOC_KEYS)
+    doc_ratios = {k: round(doc_big[k] / doc_small[k], 2) for k in doc_small}
     print(
         json.dumps(
             {
                 "sf0.1_sec": small,
                 "sf1_sec": big,
                 "ratio_10x_data": ratios,
+                "docs_500_sec": doc_small,
+                "docs_5000_sec": doc_big,
+                "ratio_10x_docs": doc_ratios,
                 "note": "ratio << 10 means fixed overhead amortizes; "
                 "plans unchanged",
             }

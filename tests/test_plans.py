@@ -197,3 +197,31 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     dynamicpruningexpression partition filter."""
     plan = plan_of(spark, sf_dir, "join_partition_pruning_dynamic")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_q9_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    """Q9 shape: part/supplier/nation legs all broadcast; the only
+    non-broadcast join is the lineitem⋈orders fact join."""
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the part name filter is pushed to the part scan, not post-join
+    assert "PushedFilters: [IsNotNull(p_name)" in plan or "StringContains(p_name,widget)" in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """The supplier exclusion runs as a broadcast LEFT ANTI join —
+    never a shuffled subquery or a nested loop."""
+    plan = plan_of(spark, sf_dir, "q16_supplier_part_variety")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_mix_prunes_and_single_shuffle(spark, sf_dir):
+    """The mixing decision rides the scan: only (doc_id, source) read
+    from the footer, keep-logic in the scan-side Project, and exactly
+    one hash exchange (the partial+final per-source agg)."""
+    plan = plan_of(spark, sf_dir, "corpus_mix_weighted_sample")
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in read and "source" in read and "text" not in read
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # map-side combine present
