@@ -57,6 +57,8 @@ HEADLINE_KEYS = (
     "text_stats",
     "stream_tumbling",
     "stream_watermark_dedup",
+    "join_interval_overlap",
+    "retention_cohorts",
 )
 
 

@@ -27,6 +27,7 @@ from s3spark.queries import (  # noqa: F401
     analytics2,
     analytics3,
     analytics4,
+    behavior,
     bucketing,
     coverage3,
     coverage4,

@@ -1,0 +1,148 @@
+"""Behavioral event analytics: cohort retention and marketing
+attribution — the product-analytics queries an events warehouse
+serves daily, expressed with the same time-keyed join/window
+discipline as the rest of the engine (user-keyed shuffles, no
+cross products, epoch arithmetic portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+activity AS (
+  SELECT s.cohort_day,
+         CAST(floor((epoch(e.ts) - epoch(s.cohort_day)) / 604800) AS BIGINT)
+           AS week_offset,
+         e.user_id
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.ts >= s.cohort_day
+)
+SELECT cohort_day, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM activity
+GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the day of their
+    first signup event; each later event lands in a week offset from
+    that day; cells count distinct active users.
+
+    Week offsets use raw epoch arithmetic (floor(Δepoch/604800)) —
+    calendar week truncation is engine- and locale-dependent, epoch
+    math is not.  Two user-keyed shuffles total: the per-user MIN
+    (signup scan is filtered first) and the events⋈signup equi-join,
+    which reuses the user hash; the cohort-cell agg runs on the tiny
+    (day, offset) domain.  At 100 TB the signup side is the small one
+    — broadcast when it fits, hash otherwise."""
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("DAY", F.min("ts")).alias("cohort_day"))
+    )
+    return (
+        e.join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_day"))
+        .select(
+            "cohort_day",
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("cohort_day")) / 604800
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+joined AS (
+  SELECT p.event_id AS purchase_id,
+         c.event_id AS click_id,
+         (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS minutes_before,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rk
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts < p.ts
+   AND c.ts >= p.ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, click_id, minutes_before
+FROM joined WHERE rk = 1
+ORDER BY purchase_id
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest click
+    by the same user in the preceding 7 days (NULL when none) — the
+    canonical marketing-attribution join.
+
+    Candidates come from a user-keyed equi-join with the 7-day window
+    as a residual range predicate — shuffle on user_id, never a time
+    cross product; the per-purchase argmax is a window over the
+    (purchase-bounded) candidate set with a deterministic
+    (ts, event_id) tie-break.  LEFT join keeps unattributed purchases
+    honest.  At 100 TB both sides co-partition on user_id and the
+    window state is bounded by per-user click density."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("c_ts"), F.desc_nulls_last("click_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "purchase_id",
+            "click_id",
+            # whole elapsed minutes via integer epoch-µs arithmetic:
+            # date_diff('minute') counts boundary CROSSINGS in DuckDB
+            # while Spark's timestampdiff counts full 60 s units —
+            # floor(Δµs/60e6) is identical on both engines
+            F.floor(
+                (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 60000000
+            ).alias("minutes_before"),
+        )
+        .orderBy("purchase_id")
+    )
