@@ -1,6 +1,11 @@
 """TPC-H Q13/Q15/Q17 shapes — the remaining classic decorrelation
 patterns the fixture schema supports: outer-join distribution,
 argmax-over-aggregate, and correlated-average filtering.
+
+Q12/Q20 complete the 22/22 set, fixture-adapted like Q21: the
+fixtures carry no l_shipmode/receiptdate/commitdate and no partsupp
+table, so each keeps the reference query's operator shape (the part
+TPC-H actually exercises) over the columns that exist.
 """
 
 from __future__ import annotations
@@ -277,4 +282,126 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (returnflag standing in for the absent
+    l_shipmode; lateness = shipped >60 days after order date, the
+    fixture's substitute for receipt-after-commit): per ship group,
+    how many late lines carried urgent orders vs everything else.
+
+    The defining plan features survive the adaptation: a fact-fact
+    equi-join whose lateness predicate correlates BOTH sides (a
+    residual join filter, not pushable), a sargable shipdate window
+    that DOES push to the lineitem scan, and the two-counter
+    conditional aggregate folding into one partial+final agg on a
+    3-value group domain.  One orderkey shuffle total at any SF.
+
+    Reference shape: TPC-H Q12 (dbgen query templates, public spec).
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+WITH concentrated AS (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+  GROUP BY l_partkey, l_suppkey
+  HAVING COUNT(*) >= 3
+     AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+             THEN l_quantity ELSE 0 END) > 0.5 * SUM(l_quantity)
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM concentrated)
+ORDER BY s.s_name, s.s_suppkey
+""",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the fixtures have no partsupp, so availability
+    vs shipped-quantity becomes recency concentration over lineitem's
+    own per-(part, supplier) history): suppliers of '%bolt' parts
+    whose established (>=3 line) part relationships shipped more than
+    half their lifetime quantity inside 1997.
+
+    Q20's defining structure is the doubly nested IN — a semi-join
+    whose inner side is itself an aggregate gated by a semi-join —
+    and that survives intact: part-name filter broadcasts LEFT SEMI
+    into lineitem (fact rows never widen), one (partkey, suppkey)
+    aggregate computes the conditional and total sums together,
+    and the surviving suppkeys broadcast LEFT SEMI into supplier.
+    Quantities are integral doubles, so both engines' sums are exact
+    and the HAVING comparison cannot drift.  One fact shuffle total.
+
+    Reference shape: TPC-H Q20 (dbgen query templates, public spec).
+    """
+    bolt = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    concentrated = (
+        li.join(F.broadcast(bolt), li.l_partkey == bolt.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias("q97"),
+            F.sum("l_quantity").alias("q_all"),
+        )
+        .filter((F.col("n_lines") >= 3) & (F.col("q97") > 0.5 * F.col("q_all")))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            F.broadcast(concentrated),
+            s.s_suppkey == concentrated.l_suppkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
     )

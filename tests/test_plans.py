@@ -225,3 +225,23 @@ def test_corpus_mix_prunes_and_single_shuffle(spark, sf_dir):
     assert "doc_id" in read and "source" in read and "text" not in read
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2  # map-side combine present
+
+
+def test_q12_pushes_window_residual_join_filter(spark, sf_dir):
+    """The shipdate window pushes to the lineitem scan; the lateness
+    predicate (correlating both join sides) stays a residual on the
+    orderkey equi-join — NOT a nested loop."""
+    plan = plan_of(spark, sf_dir, "q12_shipmode_priority")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_is_two_broadcast_semi_joins(spark, sf_dir):
+    """Q20's doubly nested IN must plan as two broadcast LEFT SEMI
+    joins (part keep-list into the fact scan, surviving suppkeys into
+    supplier) — the fact table never widens and only one shuffle (the
+    (partkey, suppkey) aggregate) remains."""
+    plan = plan_of(spark, sf_dir, "q20_part_promotion")
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
