@@ -59,6 +59,8 @@ HEADLINE_KEYS = (
     "stream_watermark_dedup",
     "join_interval_overlap",
     "retention_cohorts",
+    "decontaminate_ngram_overlap",
+    "doc_chunk_overlap",
 )
 
 

@@ -32,6 +32,7 @@ from s3spark.queries import (  # noqa: F401
     coverage3,
     coverage4,
     curation,
+    curation2,
     etl,
     formats,
     mlprep,

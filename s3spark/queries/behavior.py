@@ -146,3 +146,83 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "sessionize_gaps",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a user's event stream splits into
+    sessions wherever the gap to the previous event exceeds 30
+    minutes — the lag + cumulative-sum decorrelation of
+    ``session_window`` (which `stream_session` exercises on the
+    streaming side), with per-session start/end/count stats.
+
+    Everything happens inside ONE user-keyed shuffle: the lag, the
+    running session counter, and the per-session aggregate all reuse
+    the same (user_id, ts) partitioning-and-order, so Spark plans a
+    single Exchange + Sort feeding two Window operators and the final
+    agg.  Window state is one row (the lag) — per-user event density
+    never accumulates.  Gap comparison uses integer epoch-µs
+    arithmetic, portable across engines.
+
+    Every window orders by (ts, event_id) so same-ts ties resolve
+    identically on both engines — a running sum ordered by a
+    non-unique key would make session assignment scan-order
+    dependent."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess").over(wrun).alias("session_no"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -1,0 +1,184 @@
+"""Corpus-curation stage 2: the pipeline steps between raw documents
+and a training-ready corpus that round 1 didn't cover — benchmark
+decontamination, overlapping chunking, and the
+end-to-end dedup survivor selection that turns cluster labels into a
+cleaned corpus.
+
+All three are pure DataFrame compositions (no Python in the hot path);
+the n-gram ops reuse the shingle inverted-index discipline from
+``llm.py`` — overlap detection is ALWAYS a key-equality join on the
+shingle, never a doc×doc comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.queries.llm import _CLUSTER_SQL, dedup_clusters
+from s3spark.registry import register
+
+# the held-out evaluation slice: fixture sources are uniform 25-doc
+# groups, so two sources = a 10% eval set with planted cross-source
+# duplicates to find
+_EVAL_SOURCES = ("src0", "src1")
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+WITH ng AS (
+  SELECT DISTINCT doc_id, source,
+         toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+         toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7] AS ngram
+  FROM (SELECT doc_id, source, string_split(text,' ') AS toks,
+               generate_subscripts(string_split(text,' '), 1) AS i
+        FROM documents) t
+  WHERE i + 7 <= len(toks)
+),
+ev AS (SELECT DISTINCT ngram, doc_id AS ev_doc FROM ng
+       WHERE source IN ('src0','src1')),
+tr AS (SELECT doc_id, ngram FROM ng WHERE source NOT IN ('src0','src1'))
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.ngram) AS n_shared_ngrams,
+       COUNT(DISTINCT ev.ev_doc) AS n_eval_docs
+FROM tr JOIN ev ON tr.ngram = ev.ngram
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents that share any
+    word-8-gram with the held-out eval slice (sources src0/src1),
+    with how many distinct 8-grams and eval docs they collide on —
+    the train/test-leakage scan every LLM data pipeline runs before
+    training.
+
+    Shape is the standard inverted-index contract: both sides explode
+    to DISTINCT (doc, 8-gram) rows and meet in ONE equi-join on the
+    n-gram — the eval side is tiny (the held-out set) so it
+    broadcasts, and the train side streams through map-side; no
+    doc×doc comparison exists at any scale.  At 100 TB: hash the
+    8-gram to a 64-bit key so the broadcast carries 8 bytes per
+    shingle, exactly the MinHash-banding trick one stage earlier.
+    (Min fixture doc length is 10 words, so size(w)-8 >= 2 and the
+    sequence() below never runs descending.)"""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 8),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8)),
+    )
+    ng = d.select(
+        "doc_id", "source", F.explode(ngrams).alias("ngram")
+    ).distinct()
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    ev = ng.filter(is_eval).select(
+        "ngram", F.col("doc_id").alias("ev_doc")
+    )
+    tr = ng.filter(~is_eval).select("doc_id", "ngram")
+    return (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ngram").alias("n_shared_ngrams"),
+            F.countDistinct("ev_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle="""
+SELECT doc_id,
+       CAST(s / 24 AS BIGINT) AS chunk_id,
+       CAST(len(toks[s+1:s+32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s+1:s+32], ' ') AS chunk_text
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+     UNNEST(range(0, len(toks), 24)) AS u(s)
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: 32-token windows on a
+    24-token stride (8 tokens of overlap), the step that turns
+    variable-length documents into training sequences while keeping
+    boundary context.
+
+    One generator expression per row (sequence of window starts →
+    explode → slice) — the fan-out is data-parallel and row-local, so
+    the plan is Scan → Generate → Project with no shuffle before the
+    output sort; chunking 100 TB is exactly as parallel as scanning
+    it.  Spark's sequence(0, size-1, 24) equals DuckDB's
+    range(0, len, 24) because fixture docs are never empty."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(24))
+    chunk = F.slice(w, F.col("s") + 1, 32)
+    return (
+        d.select("doc_id", w.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / 24).cast("long").alias("chunk_id"),
+            F.size(F.slice(F.col("toks"), F.col("s") + 1, 32))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("s") + 1, 32)
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_CLUSTER_SQL}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+),
+labels AS (SELECT doc, MIN(lab) AS cid FROM reach GROUP BY doc),
+drops AS (SELECT doc FROM labels WHERE doc <> cid)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id < 500
+  AND d.doc_id NOT IN (SELECT doc FROM drops)
+ORDER BY d.doc_id
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: the corpus AFTER near-duplicate
+    removal — every document except non-canonical cluster members
+    (keeper = min doc_id per connected component, composed from
+    ``dedup_clusters``'s labels).
+
+    This is the op users actually run: pairs and cluster labels are
+    diagnostics, the survivor corpus is the training input.  The drop
+    list is dup_rate × corpus (tiny by construction), so it meets the
+    full table in one broadcast ANTI join — scan-speed at 100 TB.
+    The candidate domain (doc_id < 500) matches the bounded exact
+    verifier; the production path swaps in the unbounded MinHash
+    edges upstream, identical from the labels onward."""
+    labels = dedup_clusters(spark, sf_dir)
+    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return (
+        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

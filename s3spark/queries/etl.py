@@ -263,3 +263,60 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "snapshot_time_travel",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel over plain parquet: each commit
+    writes a full snapshot under ``v=N``, and a read "as of version
+    N" resolves max(available version <= N) from the directory
+    listing — the query-able history surface of a lakehouse table
+    without the table format.
+
+    Honest emulation: Delta/Iceberg jars are absent from this
+    container (probed, ROUND_NOTES 2026-08-13), so this key pins the
+    SEMANTICS — version resolution + reproducible historical reads —
+    with copy-on-write snapshots.  Two commits happen (v=1: orders
+    before 1997, v=2: all orders, both pre-aggregated per priority —
+    snapshot-as-you-compact); the query then reads strictly v=1 and
+    must reproduce the superseded result even though a newer commit
+    exists.  At 100 TB the snapshot write is the aggregate's output
+    (priority cardinality, not fact rows), and real formats replace
+    copy-on-write with manifest-tracked deltas — the read contract
+    this key locks stays identical."""
+    from pathlib import Path
+
+    from s3spark.io import scratch_dir
+
+    out = scratch_dir("snapshots")
+    o = table(spark, sf_dir, "orders")
+
+    def commit(df: DataFrame, version: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/v={version}")
+
+    agg = lambda df: (  # noqa: E731 — snapshot body shared by both commits
+        df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+    commit(agg(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))), 1)
+    commit(agg(o), 2)
+
+    asked = 1
+    versions = sorted(
+        int(p.name.split("=", 1)[1]) for p in Path(out).glob("v=*")
+    )
+    resolved = max(v for v in versions if v <= asked)
+    return spark.read.parquet(f"{out}/v={resolved}").orderBy("o_orderpriority")

@@ -28,14 +28,16 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              "window_running", "q18_large_orders", "agg_salted_skew",
              "join_salted_skew", "agg_bitmap_distinct",
              "q4_order_priority", "q6_forecast_revenue",
-             "q7_volume_shipping"]
+             "q7_volume_shipping", "q12_shipmode_priority"]
 
-# Document-table keys scale with `documents` rows, which the fact
-# replicator leaves untouched — measure them across the fixtures' own
-# 10× doc growth (sf0.01: 500 docs → sf0.1: 5,000 docs) instead.
+# Document- and event-table keys scale with rows the fact replicator
+# leaves untouched — measure them across the fixtures' own 10× growth
+# (sf0.01 → sf0.1: 500 → 5,000 docs, and 10× events) instead.
 # dedup_fuzzy_minhash is unbounded as of round 2; sub-linear growth
 # here is the evidence the 500-doc bound used to hide.
-DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats"]
+DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
+            "decontaminate_ngram_overlap", "doc_chunk_overlap",
+            "sessionize_gaps", "retention_cohorts"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -180,3 +180,56 @@ def test_repetition_filter_flags_planted_boilerplate(spark):
     by_id = {r.doc_id: r.f for r in frac}
     assert by_id[1] > 0.4          # "now buy"/"buy now" dominate
     assert by_id[2] < 0.2
+
+
+@pytest.fixture(scope="module")
+def contam_dir(tmp_path_factory):
+    """Documents where one 'train' doc copies an 8-gram run from an
+    eval-source doc and another train doc shares nothing."""
+    d = tmp_path_factory.mktemp("contam")
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        {"doc_id": 0, "text": leak + " iota kappa lambda", "lang": "en",
+         "source": "src0", "n_chars": 60},          # eval doc
+        {"doc_id": 1, "text": "intro words then " + leak, "lang": "en",
+         "source": "src5", "n_chars": 60},          # contaminated train doc
+        {"doc_id": 2, "text": "totally clean training text with "
+         "no overlapping runs at all here", "lang": "en",
+         "source": "src6", "n_chars": 60},          # clean train doc
+    ]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_decontaminate_flags_only_the_leaked_doc(spark, contam_dir):
+    out = REGISTRY["decontaminate_ngram_overlap"].fn(spark, contam_dir).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_shared_ngrams == 1 and out[0].n_eval_docs == 1
+
+
+def test_chunking_covers_every_token_with_fixed_overlap(spark, sf_dir):
+    """Stitching chunks back with the 8-token overlap removed must
+    reproduce each document exactly — no token lost or duplicated."""
+    chunks = REGISTRY["doc_chunk_overlap"].fn(spark, sf_dir)
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    from collections import defaultdict
+    rebuilt = defaultdict(list)
+    for r in sorted(chunks.collect(), key=lambda r: (r.doc_id, r.chunk_id)):
+        toks = r.chunk_text.split(" ")
+        assert r.n_tokens == len(toks) <= 32
+        rebuilt[r.doc_id].extend(toks if r.chunk_id == 0 else toks[8:])
+    assert rebuilt.keys() == docs.keys()
+    for doc_id, toks in docs.items():
+        assert rebuilt[doc_id] == toks, f"doc {doc_id} not covered"
+
+
+def test_dedup_survivors_keep_one_per_planted_cluster(spark, planted_dir):
+    """5 docs: {0,1,4} exact dups (+2 a near-dup of the same base),
+    3 unrelated → survivors are exactly the cluster keeper 0 and the
+    unrelated doc 3."""
+    out = REGISTRY["dedup_survivors"].fn(spark, planted_dir).collect()
+    assert [r.doc_id for r in out] == [0, 3]

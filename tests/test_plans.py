@@ -245,3 +245,19 @@ def test_q20_nested_in_is_two_broadcast_semi_joins(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The held-out eval shingle set rides the task side; train
+    shingles stream through map-side — no shuffle of the big side."""
+    plan = plan_of(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_shuffle_free_before_output_sort(spark, sf_dir):
+    """Chunking must be row-local (Scan -> Generate -> Project): the
+    only exchange is the range partitioning for the output ORDER BY."""
+    plan = plan_of(spark, sf_dir, "doc_chunk_overlap")
+    assert "Generate explode" in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
