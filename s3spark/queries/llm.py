@@ -123,13 +123,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all shingles; doc_id < 500 bounds the candidate set identically
     at every SF here."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # split once in a prior Project (inline split in the lambda is
+    # re-evaluated per element access; measured 6x on this stage)
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
     trigrams = F.expr(
-        "transform(sequence(0, size(split(text,' ')) - 3),"
-        " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
-        " split(text,' ')[i+2]))"
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     )
     sh = (
-        d.select("doc_id", F.explode(trigrams).alias("trigram"))
+        words.select("doc_id", F.explode(trigrams).alias("trigram"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -160,44 +162,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_fuzzy_minhash", oracle=None)  # approximate → rows-only
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate generation (the scale path):
-    shingle → HashingTF sparse vector → MinHash signatures → banded
-    bucket join (approxSimilarityJoin) → Jaccard-distance filter.
+    """MinHash-LSH near-dup candidate generation (the scale path),
+    hand-rolled from JVM built-ins: shingle → K=12 xxhash64 minhash
+    components → 6 bands × 2 rows → band-bucket equi-join →
+    signature-agreement similarity estimate.
 
     This is the 100 TB plan: candidate pairs come from band-bucket
-    equality (shuffle on bucket key), and the exact Jaccard check
-    (dedup_ngram_jaccard) runs only on candidates.  Runs over the FULL
-    documents table at every SF — the scale path must actually be
-    exercised at scale (only the exact all-pairs verifier stays
-    bounded); scale_stress.py records the 10×-docs ratio.  Approximate
-    → rows-only here; tests/test_llm.py bounds recall against the
-    exact pairs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    EQUALITY (shuffle on the band key), and similarity is estimated
+    from the signatures already in hand (fraction of the K components
+    that agree) — no exact vector distance per candidate, which is
+    what made the ml.MinHashLSH variant 3× slower (its
+    approxSimilarityJoin recomputes true Jaccard on every single-hash
+    bucket collision).  r=2 banding also suppresses low-similarity
+    junk candidates quadratically: P(candidate) = 1-(1-s²)^6, ≈0 for
+    unrelated docs vs 1-(1-s)^6 ≈ 6s for single-hash tables.  Three
+    shuffles total: the per-doc signature aggregate, the band join,
+    and the pair dedup.  Runs over the FULL documents table at every
+    SF (only the exact all-pairs verifier stays bounded);
+    scale_stress.py records the 10×-docs ratio.  Deterministic by
+    construction (seeded xxhash64, no ml randomness).  Approximate →
+    rows-only; tests/test_llm.py bounds recall against exact pairs."""
+    K, R, B = 12, 2, 6  # K components, B bands of R rows (B*R == K)
     d = table(spark, sf_dir, "documents")
+    # split ONCE in a prior Project: an inline split(text) inside the
+    # transform lambda is re-evaluated on every element access
+    # (measured 6x cost on the signature stage at sf0.1)
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
     trigrams = F.expr(
-        "transform(sequence(0, size(split(text,' ')) - 3),"
-        " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
-        " split(text,' ')[i+2]))"
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     )
-    toks = d.select("doc_id", trigrams.alias("toks"))
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
-    # cache: fit + both sides of the self-join reuse this frame — without
-    # it the trigram+hashing transform runs 3x (measured ~2.5x key cost)
-    feats = tf.transform(toks).filter(F.expr("size(toks) > 0")).cache()
-    # 6 OR-amplified tables: candidate probability 1-(1-s)^6 = 0.98 at
-    # the s=0.5 threshold (measured recall 1.0 at sf0.01 even with 4;
-    # 8 tables cost ~25% more wall-clock for no measured recall gain)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+    # no distinct before the min: min over a multiset == min over its set
+    sh = words.select("doc_id", F.explode(trigrams).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+            for k in range(K)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * R + r}") for r in range(R)], F.lit(b)
+                ).alias("bsig"),
+            )
+            for b in range(B)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.array(*[f"h{k}" for k in range(K)]).alias("sig"),
+        F.explode(band_structs).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / K
+    )
+    return (
+        cand.filter(est >= 0.5)
+        .select("doc_a", "doc_b", F.round(est, 6).alias("jaccard_sim"))
         .orderBy("doc_a", "doc_b")
     )
 
