@@ -161,12 +161,17 @@ def list_files_auto(
     spark: SparkSession,
     url: str,
     threshold: int = DRIVER_LISTING_THRESHOLD,
+    recursive: bool = True,
 ) -> DataFrame:
     """Listing DataFrame with automatic driver/distributed routing.
 
     Walks the driver-side iterator (cheap, no job) until ``threshold``
     entries, then cuts over to :func:`list_files_distributed` so huge
     prefixes are listed by executor tasks instead of a driver loop.
+    The abandoned probe work is bounded by ``threshold`` entries (~10
+    S3 LIST pages at the default), independent of prefix size — the
+    distributed listing pays the full cost exactly once.  ``recursive``
+    mirrors :func:`list_files` and is honored on both routes.
     """
     import datetime
 
@@ -175,10 +180,10 @@ def list_files_auto(
     if not fs.exists(path):
         raise S3FileNotFound(f"no such path: {url}")
     rows = []
-    it = fs.listFiles(path, True)
+    it = fs.listFiles(path, recursive)
     while it.hasNext():
         if len(rows) >= threshold:
-            return list_files_distributed(spark, url)
+            return list_files_distributed(spark, url, recursive=recursive)
         st = it.next()
         p = st.getPath().toString()
         rows.append(
@@ -194,7 +199,9 @@ def list_files_auto(
     return spark.createDataFrame(rows, LISTING_SCHEMA)
 
 
-def list_files_distributed(spark: SparkSession, url: str) -> DataFrame:
+def list_files_distributed(
+    spark: SparkSession, url: str, recursive: bool = True
+) -> DataFrame:
     """Listing DataFrame via the ``binaryFile`` source: file discovery
     uses Spark's InMemoryFileIndex (parallelized past
     ``spark.sql.sources.parallelPartitionDiscovery.threshold``) and the
@@ -203,7 +210,7 @@ def list_files_distributed(spark: SparkSession, url: str) -> DataFrame:
     """
     return (
         spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
+        .option("recursiveFileLookup", "true" if recursive else "false")
         .load(url)
         .select(
             F.col("path"),

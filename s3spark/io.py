@@ -38,31 +38,50 @@ TABLES = (
 DEC = "decimal(25,6)"
 
 
-# events fixture footer schema (FIXTURES.md) with ts:TIMESTAMP(NANOS)
-# requested as LongType — the reader serves the raw int64 nanos under an
-# explicit schema, so no session conf (nanosAsLong) has to be mutated.
+# events fixture footer schema for generators that emit
+# ts:TIMESTAMP(NANOS), requested as LongType — the reader serves the
+# raw int64 nanos under an explicit schema, so no session conf
+# (nanosAsLong) ever has to be mutated.
 _EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, "
     "event_type string, value double, props string"
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (parquet file or partitioned directory).
+def events_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table, tolerant of the fixture's timestamp
+    physical type.
 
-    The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long via an
-    explicit reader schema and convert to a microsecond timestamp
-    (matching DuckDB's own ns→µs coercion) so downstream code sees a
-    plain TimestampType column. Scoped to this read only — it does NOT
-    toggle ``spark.sql.legacy.parquet.nanosAsLong`` globally, so other
-    nanos parquet reads in the same session keep their own semantics.
+    Fixture generators have shipped ``ts`` as both TIMESTAMP(MICROS)
+    (readable directly) and TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects ([PARQUET_TYPE_ILLEGAL]).  Probe with a normal read
+    first — schema inference reads only footers, so the probe is cheap
+    and fails fast on nanos — then fall back to an explicit int64
+    schema and convert ns→µs (matching DuckDB's coercion).  Both paths
+    are scoped to this read: no session conf (nanosAsLong) is toggled,
+    so other parquet reads in the same session keep their semantics.
     """
-    if name == "events":
-        df = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(
-            f"{sf_dir}/{name}.parquet"
-        )
+    try:
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong happened to be set session-wide by the caller
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # normalize to TIMESTAMP_LTZ: unix_micros()/watermarks
+            # require it, and with the UTC session timezone the cast
+            # is value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    except Exception:
+        df = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (parquet file or partitioned directory)."""
+    if name == "events":
+        return events_table(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,10 +1,14 @@
 """Engine operator surface (SURVEY.md §2.3) — importing this package
 registers every verified query into ``s3spark.registry.REGISTRY``.
 
-Import order matters operationally: the driver's correctness window
-records keys in *registration order* and may cap how many it verifies,
-so the §2.3 core surface (scans → eventtime) registers first and the
-long-tail coverage modules register after it.
+Registration order matters operationally: the driver's correctness
+window records keys in *registration order* and caps how many it
+verifies (~50/round).  Rounds 1+2 officially witnessed 78 distinct
+keys (the union of CORRECTNESS_r01/r02); per the round-2 verdict's
+top item, this round rotates the order at *key level* so the window
+lands on never-witnessed keys first.  ``_rotate_registry()`` below
+rebuilds the dict: unwitnessed keys keep their relative order and go
+first, already-witnessed keys follow.
 """
 
 from s3spark.queries import (  # noqa: F401
@@ -54,3 +58,47 @@ from s3spark.queries import (  # noqa: F401
     timeseries,
     udx2,
 )
+
+# Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
+# (driver-witnessed).  These yield the front of the registration order
+# to the 104 keys the driver's window has never reached.
+_WITNESSED_R1_R2 = frozenset({
+    "agg_approx_distinct", "agg_corr_stddev", "agg_count_distinct",
+    "agg_cube", "agg_global", "agg_groupby", "agg_grouping_sets",
+    "agg_having", "agg_histogram", "agg_percentiles", "agg_regression",
+    "agg_rollup", "agg_salted_skew", "agg_string_ordered",
+    "array_set_algebra", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_fuzzy_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprint", "filter_comparison",
+    "filter_compound", "filter_like", "filter_null", "filter_rlike",
+    "join_anti", "join_asof", "join_broadcast", "join_bucketed_colocated",
+    "join_full", "join_inner_equi", "join_left", "join_multiway",
+    "join_range_bucketed", "join_right", "join_semi", "join_theta_range",
+    "merge_upsert", "pivot_status_counts", "project_arith", "project_case",
+    "project_rename_enumerate", "q10_returned_items", "q14_promo_share",
+    "q18_large_orders", "q19_disjunctive", "q22_dormant_customers",
+    "q2_min_supplier_per_part", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "rollup_reuse_hourly_daily", "scan_parquet",
+    "scan_projection_pushdown", "sim_ann_ivf", "sim_ann_lsh",
+    "sim_cosine_topk", "sink_csv_roundtrip",
+    "sink_dynamic_partition_overwrite", "sink_json_roundtrip",
+    "sink_orc_roundtrip", "sink_parquet_roundtrip",
+    "sink_partitioned_pruning", "source_listing", "stream_session",
+    "stream_sliding", "stream_stateful_user_stats", "stream_tumbling",
+    "stream_watermark_dedup", "subquery_above_avg", "subquery_scalar_global",
+    "text_lang_quality", "text_stats", "text_token_bpe", "window_analytic",
+    "window_ranking",
+})
+
+
+def _rotate_registry() -> None:
+    from s3spark.registry import REGISTRY
+
+    unseen = {k: v for k, v in REGISTRY.items() if k not in _WITNESSED_R1_R2}
+    seen = {k: v for k, v in REGISTRY.items() if k in _WITNESSED_R1_R2}
+    REGISTRY.clear()
+    REGISTRY.update(unseen)
+    REGISTRY.update(seen)
+
+
+_rotate_registry()

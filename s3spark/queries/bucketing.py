@@ -35,10 +35,16 @@ def _drop_table_and_location(spark: SparkSession, name: str) -> None:
         fs.delete(path, True)
 
 
+# Memo of (session id, sf_dir) pairs whose bucketed copies are already
+# materialized — a plain module-level set, so no session conf is ever
+# mutated as a side channel (policy: spark.conf.set only in session.py).
+_BUCKETED_DONE: set = set()
+
+
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
     """Materialize bucketed copies once per (session, sf_dir)."""
-    marker = f"s3spark_bucketed_for::{sf_dir}"
-    if spark.conf.get(marker, None) == "done":
+    marker = (id(spark), sf_dir)
+    if marker in _BUCKETED_DONE:
         return
     _drop_table_and_location(spark, "s3spark_orders_bucketed")
     _drop_table_and_location(spark, "s3spark_lineitem_bucketed")
@@ -56,7 +62,7 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
         .mode("overwrite")
         .saveAsTable("s3spark_lineitem_bucketed")
     )
-    spark.conf.set(marker, "done")
+    _BUCKETED_DONE.add(marker)
 
 
 @register(

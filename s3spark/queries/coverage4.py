@@ -151,8 +151,12 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture df maxes at 7, so the cap is demonstrably active)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     # split once in a prior Project (inline split in the lambda is
-    # re-evaluated per element access; measured 6x on this stage)
-    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # re-evaluated per element access; measured 6x on this stage);
+    # size(w) >= 3 guards the descending-sequence() edge for sub-3-word
+    # docs (see llm.dedup_fuzzy_minhash)
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
     trigrams = F.expr(
         "transform(sequence(0, size(w) - 3),"
         " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"

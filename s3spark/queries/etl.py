@@ -245,7 +245,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two aggregations both keyed on doc_id — the second
     reuses the first's partitioning, so one real shuffle."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    # size(w) >= 2 guards the descending-sequence() edge: a 1-word doc
+    # makes sequence(0,-1) → [0,-1] and the w[-1] lookup yields a null
+    # bigram (see llm.dedup_fuzzy_minhash for the trigram twin)
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
     bigrams = toks.select(
         "doc_id",
         F.explode(

@@ -102,15 +102,17 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     out = scratch_dir("fmt-dpo")
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        corrected = src.filter(F.col("o_orderstatus") == "P").withColumn(
-            "o_totalprice", F.col("o_totalprice") + 1000
-        )
-        corrected.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    corrected = src.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    # per-write option (DataFrameWriter supports partitionOverwriteMode
+    # since Spark 2.4) — scoped to this write, no session conf mutation
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
     back = spark.read.parquet(out)
     return (
         back.groupBy("o_orderstatus")

@@ -124,8 +124,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every SF here."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     # split once in a prior Project (inline split in the lambda is
-    # re-evaluated per element access; measured 6x on this stage)
-    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # re-evaluated per element access; measured 6x on this stage);
+    # size(w) >= 3 guards the descending-sequence() edge for sub-3-word
+    # docs (see dedup_fuzzy_minhash)
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
     trigrams = F.expr(
         "transform(sequence(0, size(w) - 3),"
         " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
@@ -186,8 +190,15 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # split ONCE in a prior Project: an inline split(text) inside the
     # transform lambda is re-evaluated on every element access
-    # (measured 6x cost on the signature stage at sf0.1)
-    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # (measured 6x cost on the signature stage at sf0.1).
+    # size(w) >= 3 guards the sequence() bound: for shorter docs
+    # sequence(0, size(w)-3) runs DESCENDING (sequence(0,-2) →
+    # [0,-1,-2]) and negative w[i] lookups yield nulls that concat_ws
+    # silently drops — bogus 1-2 word shingles.  Sub-3-word docs have
+    # no trigrams by definition; exact dedup still covers them.
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
     trigrams = F.expr(
         "transform(sequence(0, size(w) - 3),"
         " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"

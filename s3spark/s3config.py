@@ -89,6 +89,12 @@ def _map(flat: dict[str, object], mapping: dict[str, str]) -> dict[str, str]:
             target = f"fs.s3a.ext.{k}"
         if k == "s3.addressing_style":
             v = "true" if v == "path" else "false"
+        elif k == "retries.max_attempts":
+            # botocore max_attempts counts TOTAL attempts including the
+            # initial request (standard/adaptive modes); S3A retry.limit
+            # counts retries AFTER the first attempt — shift by one so
+            # both configs allow the same number of requests on the wire
+            v = max(int(v) - 1, 0)
         conf[target] = str(v)
     return conf
 

@@ -20,18 +20,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from s3spark import io
 from s3spark.io import DEC, scratch_dir
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file-source stream (same ns→µs timestamp handling
-    as the batch reader in s3spark.io.table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        spark.read.option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
+    """events as a file-source stream (same timestamp-type tolerance
+    as the batch reader, s3spark.io.events_table).
+
+    The batch probe below only infers the footer schema; it never
+    mutates session conf.  If the fixture stores TIMESTAMP(NANOS) the
+    probe read fails and we fall back to the explicit int64-nanos
+    schema + ns→µs conversion; a TIMESTAMP(MICROS) fixture streams
+    directly."""
+    try:
+        raw_schema = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+    except Exception:
+        raw_schema = io._EVENTS_NANOS_SCHEMA
     # file-source streams need a directory; glob-filter to the events
     # table so sibling fixture tables are not picked up
     sdf = (
@@ -40,8 +49,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP_LTZ; value-preserving under UTC
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
@@ -144,6 +157,14 @@ def stream_merge_into(
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(
             Path(target_dir).toUri(), conf
         )
+        bak = target_dir + ".bak"
+        # Crash recovery FIRST: if a prior epoch died between
+        # rename(target→bak) and rename(tmp→target), bak holds the only
+        # complete copy — restore it before any read or delete decision,
+        # otherwise this epoch would treat bak as a deletable leftover
+        # and silently restart history from the current batch.
+        if not fs.exists(Path(target_dir)) and fs.exists(Path(bak)):
+            fs.rename(Path(bak), Path(target_dir))
         if fs.exists(Path(target_dir)):
             # the previous epoch swapped files under this path — drop
             # Spark's cached file listing or the read plans deleted files
@@ -162,10 +183,12 @@ def stream_merge_into(
         # epoch's data, not just the in-flight one) — at any instant one
         # complete copy exists as either target or target.bak.
         tmp = target_dir + f".epoch{epoch_id}"
-        bak = target_dir + ".bak"
         merged.write.mode("overwrite").parquet(tmp)
+        # after the recovery step above, bak-exists ⇒ target-exists, so
+        # bak here is a true leftover (crash after the final rename but
+        # before this delete) and is safe to drop
         if fs.exists(Path(bak)):
-            fs.delete(Path(bak), True)  # leftover from a prior crash
+            fs.delete(Path(bak), True)
         had_target = fs.exists(Path(target_dir))
         if had_target:
             fs.rename(Path(target_dir), Path(bak))

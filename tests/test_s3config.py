@@ -40,14 +40,24 @@ def test_unknown_keys_pass_through_with_warning():
 
 def test_retries_nested_dict_maps_to_retry_limit():
     # botocore Config(retries={'max_attempts': 7, 'mode': 'standard'})
-    # — max_attempts reaches S3A's retry.limit; mode (no S3A
-    # equivalent) is dropped with a warning, never an inert ext key
+    # — max_attempts counts TOTAL attempts (incl. the initial request)
+    # while S3A retry.limit counts retries AFTER it, so 7 attempts maps
+    # to retry.limit=6; mode (no S3A equivalent) is dropped with a
+    # warning, never an inert ext key
     with pytest.warns(UserWarning, match="no S3A equivalent"):
         conf = s3_config_to_hadoop(
             "{'retries': {'max_attempts': 7, 'mode': 'standard'}}"
         )
-    assert conf["fs.s3a.retry.limit"] == "7"
+    assert conf["fs.s3a.retry.limit"] == "6"
     assert not any("retries.mode" in k for k in conf)
+
+
+def test_retries_max_attempts_one_means_no_retries():
+    with pytest.warns(UserWarning, match="no S3A equivalent"):
+        conf = s3_config_to_hadoop(
+            "{'retries': {'max_attempts': 1, 'mode': 'standard'}}"
+        )
+    assert conf["fs.s3a.retry.limit"] == "0"
 
 
 def test_empty_and_invalid_literals():

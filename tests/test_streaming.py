@@ -103,6 +103,49 @@ def test_stream_merge_into_upserts_incrementally(spark, tmp_path):
     assert out.select("event_id").distinct().count() == 25
 
 
+def test_stream_merge_into_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Crash-window regression: if a crash lands between
+    rename(target→bak) and rename(tmp→target), the next epoch must
+    restore bak — the only complete copy — instead of deleting it and
+    silently restarting history from the in-flight batch."""
+    import shutil
+
+    import pandas as pd
+
+    from s3spark.streaming import events_stream, stream_merge_into
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    f1 = pd.DataFrame(
+        {
+            "event_id": range(20),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(20)],
+            "user_id": [i % 3 for i in range(20)],
+            "event_type": ["click"] * 20,
+            "value": [1.0] * 20,
+            "props": ['{"k": 1}'] * 20,
+        }
+    )
+    f1.to_parquet(src / "events.parquet")
+    target = str(tmp_path / "target")
+    stream_merge_into(events_stream(spark, str(src)), target)
+    assert spark.read.parquet(target).count() == 20
+
+    # simulate the crash window: target moved aside to .bak, new copy
+    # never landed — bak now holds the ONLY complete merged history
+    shutil.move(target, target + ".bak")
+
+    f2 = f1.iloc[:5].copy()
+    f2["event_id"] = range(100, 105)
+    f2.to_parquet(src / "events2.parquet")
+    stream_merge_into(events_stream(spark, str(src)), target)
+
+    out = spark.read.parquet(target)
+    assert out.count() == 25, "pre-crash history was dropped"
+    assert out.select("event_id").distinct().count() == 25
+
+
 def test_streaming_session_windows_subset_of_batch(spark, sf_dir):
     """Session windows computed in actual streaming mode (append +
     watermark) must be exactly a subset of the batch session_window
