@@ -40,6 +40,7 @@ from s3spark.queries import (  # noqa: F401
     coverage4,
     curation,
     curation2,
+    curation3,
     etl,
     formats,
     mlprep,

@@ -108,26 +108,16 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_TRIGRAM_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup detection via the shingle
-    inverted-index join — the exact-verification stage of a dedup
-    pipeline.
-
-    Shape: doc → distinct word-trigrams → self-equi-join on trigram →
-    pair intersection counts → |A∪B| via per-doc sizes → filter τ≥0.5.
-    The join is key-equality on the shingle, so Spark shuffles on the
-    shingle hash (no cross product).  At 100 TB the same plan holds
-    but hot shingles get dropped first (a frequency cap against join
-    skew) and candidate pairs come from MinHash bands (below) instead
-    of all shingles; doc_id < 500 bounds the candidate set identically
-    at every SF here."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact trigram-Jaccard pair generation over an arbitrary
+    (doc_id, text) corpus slice — the df-parameterized core shared by
+    ``dedup_ngram_jaccard`` and the end-to-end curation pipeline.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= ``threshold``."""
     # split once in a prior Project (inline split in the lambda is
     # re-evaluated per element access; measured 6x on this stage);
     # size(w) >= 3 guards the descending-sequence() edge for sub-3-word
     # docs (see dedup_fuzzy_minhash)
-    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 3
     )
     trigrams = F.expr(
@@ -158,10 +148,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
         .join(s2, F.col("doc_b") == F.col("s2.doc_id"))
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("dedup_ngram_jaccard", oracle=_TRIGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup detection via the shingle
+    inverted-index join — the exact-verification stage of a dedup
+    pipeline.
+
+    Shape: doc → distinct word-trigrams → self-equi-join on trigram →
+    pair intersection counts → |A∪B| via per-doc sizes → filter τ≥0.5.
+    The join is key-equality on the shingle, so Spark shuffles on the
+    shingle hash (no cross product).  At 100 TB the same plan holds
+    but hot shingles get dropped first (a frequency cap against join
+    skew) and candidate pairs come from MinHash bands (below) instead
+    of all shingles; doc_id < 500 bounds the candidate set identically
+    at every SF here."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return jaccard_pairs(d)
 
 
 @register("dedup_fuzzy_minhash", oracle=None)  # approximate → rows-only
@@ -703,6 +711,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-truncated lineage).  Oracle: DuckDB recursive CTE
     over the same pairs."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_labels(spark, pairs)
+
+
+def cluster_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) pair
+    graph → (doc_id, cluster_id=min doc_id of component).  The
+    df-parameterized core shared by ``dedup_clusters`` and the
+    end-to-end curation pipeline; driver union-find under
+    _EDGE_DRIVER_CAP edges, distributed min-label propagation above."""
     edge_rows = pairs.limit(_EDGE_DRIVER_CAP + 1).collect()
     if len(edge_rows) <= _EDGE_DRIVER_CAP:
         parent: dict[int, int] = {}

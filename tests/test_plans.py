@@ -285,3 +285,17 @@ def test_ivf_assignment_is_mapside_argmax(spark, sf_dir):
     assert plan.count("Window [") == 1
     assert "array_max" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array join
+
+
+def test_curation_pipeline_single_big_side_shuffle(spark, sf_dir):
+    """curation_pipeline_e2e composes quality -> decontaminate ->
+    dedup-survivors -> pack without extra exchanges between stages:
+    every join is broadcast (no SortMergeJoin anywhere), the full
+    corpus is hash-shuffled exactly ONCE (the per-source packing
+    window, whose partitioning the final groupBy then reuses), and the
+    only other exchanges are tiny-side distincts/broadcasts + the
+    output sort."""
+    plan = plan_of(spark, sf_dir, "curation_pipeline_e2e")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert plan.count("Exchange") <= 7
