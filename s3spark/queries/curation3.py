@@ -192,3 +192,70 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+@register(
+    "shard_assignment_hash",
+    oracle="""
+SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def shard_assignment_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding of the corpus into 16 output shards
+    (first md5 hex nibble of the stable doc key) with per-shard
+    balance statistics — the write-side step that fixes how a training
+    corpus lands in object storage.
+
+    Membership is a pure function of doc_id (reproducible across
+    engines, partitionings, and reruns — same rationale as
+    corpus_mix_weighted_sample); the audit aggregation is one
+    map-side-combined groupBy over 16 keys.  At 100 TB the same
+    expression feeds ``.write.partitionBy("shard")`` so shard
+    assignment rides the scan; 2 nibbles → 256 shards is the same
+    one-line change on both engines."""
+    d = table(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.select(shard.alias("shard"), "n_chars", "source")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register("dedup_minhash_survivors", oracle=None)  # hash-specific → rows-only
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup path end-to-end, unbounded: MinHash-banded
+    candidate pairs over the FULL corpus → connected components →
+    survivor corpus via one broadcast ANTI join.
+
+    This is the scale twin of ``dedup_survivors`` (which uses the
+    bounded exact-Jaccard verifier domain): candidates come from the
+    K=12/6-band xxhash64 signatures, so the same three-shuffle
+    candidate plan runs at any corpus size and the drop list stays
+    dup_rate × corpus.  Hash-specific candidate set → rows-only;
+    tests/test_llm.py bounds it behaviorally against the exact
+    survivor set on the shared domain."""
+    from s3spark.queries.llm import dedup_fuzzy_minhash
+
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cluster_labels(spark, pairs)
+    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -210,3 +210,65 @@ def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s, allowMissingColumns=True).orderBy(
         "entity_id", "name"
     )
+
+
+@register(
+    "window_time_decay",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, value,
+         (epoch(ts) - MIN(epoch(ts)) OVER (PARTITION BY user_id))
+           / 3600.0 AS h
+  FROM events
+),
+acc AS (
+  SELECT user_id, event_id, h,
+         SUM(CAST(value * exp(0.01 * h) AS DECIMAL(25,6)))
+           OVER (PARTITION BY user_id ORDER BY h, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM base
+)
+SELECT user_id, event_id,
+       round(exp(-0.01 * h) * CAST(s AS DOUBLE), 6) AS decayed_value
+FROM acc
+ORDER BY user_id, event_id
+""",
+)
+def window_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed running engagement score per user
+    (half-life ≈ 69 h at λ=0.01/h) — the recency-weighted feature
+    every behavioral ranking/feature pipeline computes.
+
+    EWMA looks serial but factors into a plain window cumsum:
+    ``decayed(t) = exp(-λh_t) · Σ_{i≤t} value_i · exp(λh_i)`` — one
+    per-user shuffle, no iteration, no UDF.  Timestamps are
+    re-origined per user (h = hours since the user's first event) so
+    the exp() arguments stay bounded regardless of absolute epoch;
+    the partial sums go through DECIMAL(25,6) so both engines
+    accumulate exactly in any order (the repo-wide DEC float rule)."""
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    # prefix MUST be time-ordered (h, not event_id) or later events
+    # would enter earlier rows' sums with weight > 1
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = F.col("ts").cast("double")
+    h = (sec - F.min(sec).over(wu)) / 3600.0
+    base = e.select("user_id", "event_id", "value", h.alias("h"))
+    s = F.sum(
+        (F.col("value") * F.exp(0.01 * F.col("h"))).cast("decimal(25,6)")
+    ).over(w)
+    return (
+        base.withColumn("s", s)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.exp(-0.01 * F.col("h")) * F.col("s").cast("double"), 6
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )

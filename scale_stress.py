@@ -37,7 +37,9 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
 # here is the evidence the 500-doc bound used to hide.
 DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             "decontaminate_ngram_overlap", "doc_chunk_overlap",
-            "sessionize_gaps", "retention_cohorts"]
+            "sessionize_gaps", "retention_cohorts",
+            "dedup_jaccard_capped", "dedup_survivors",
+            "curation_pipeline_e2e"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

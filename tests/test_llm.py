@@ -233,3 +233,34 @@ def test_dedup_survivors_keep_one_per_planted_cluster(spark, planted_dir):
     unrelated doc 3."""
     out = REGISTRY["dedup_survivors"].fn(spark, planted_dir).collect()
     assert [r.doc_id for r in out] == [0, 3]
+
+
+def test_minhash_survivors_consistent_with_exact_on_shared_domain(
+    spark, sf_dir
+):
+    """The unbounded MinHash survivor path must agree with the exact
+    bounded verifier where their domains overlap: every doc the exact
+    path drops (doc_id < 500, Jaccard >= 0.5 component member) should
+    also be dropped by MinHash (recall on drops >= 0.8 — banding is
+    probabilistic), and MinHash must never drop a doc with no
+    candidate partner at all."""
+    mh = REGISTRY["dedup_minhash_survivors"].fn(spark, sf_dir)
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    mh_ids = {r.doc_id for r in mh.select("doc_id").collect()}
+    assert len(mh_ids) == mh.count()  # doc_id unique in survivors
+    exact = REGISTRY["dedup_survivors"].fn(spark, sf_dir)
+    exact_ids = {r.doc_id for r in exact.select("doc_id").collect()}
+    exact_dropped = {i for i in range(500)} & (
+        set(range(total)) - exact_ids
+    )
+    mh_dropped_shared = {i for i in range(500)} - mh_ids
+    if exact_dropped:
+        recall = len(exact_dropped & mh_dropped_shared) / len(exact_dropped)
+        assert recall >= 0.8, f"drop recall {recall}"
+    # drops outside the exact domain must still come from real pairs
+    pairs = REGISTRY["dedup_fuzzy_minhash"].fn(spark, sf_dir)
+    paired = {
+        x for r in pairs.collect() for x in (r.doc_a, r.doc_b)
+    }
+    dropped_all = set(range(total)) - mh_ids
+    assert dropped_all <= paired, "dropped a doc with no candidate pair"
