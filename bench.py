@@ -58,6 +58,7 @@ HEADLINE_KEYS = (
     "stream_tumbling",
     "stream_watermark_dedup",
     "join_interval_overlap",
+    "curation_pipeline_e2e",
     "retention_cohorts",
     "decontaminate_ngram_overlap",
     "doc_chunk_overlap",

@@ -271,31 +271,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash document fingerprints, fully distributed:
     token → xxhash64 → per-bit ±1 votes → sign-aggregated bits →
     recomposed signature.  Near-dups then reduce to hamming-distance
-    buckets on signature prefixes.  One explode + one groupBy — the
-    shuffle carries (doc_id, token_hash) pairs only.  Hash-function
-    specific, so rows-only; tests pin identical-text ⇒ identical
-    signature and near-dup ⇒ small hamming distance."""
+    buckets on signature prefixes.
+
+    The per-bit voting happens ENTIRELY in-row: hash the token array
+    once, then one ``aggregate`` HOF folds every token's 64 bit-votes
+    into a 64-int accumulator via ``zip_with`` — a pure projection,
+    ZERO shuffle (the round-1..2 version exploded to (doc, token)
+    rows and shuffled 64 partial sums per doc; signatures are
+    identical).  Hash-function specific, so rows-only; tests pin
+    identical-text ⇒ identical signature and near-dup ⇒ small
+    hamming distance."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(_tokens()).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-    sig = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+    hs = F.transform(_tokens(), lambda t: F.xxhash64(t))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    # call_function("shift*") because the F.shift* wrappers take only a
+    # Python-int bit count and here the bit index is a lambda Column
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            bits,
+            lambda v, b: F.when(
+                v > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, term: acc.bitwiseXOR(term),
+    )
+    return d.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
 
 
 _EMB_COS_SQL = """
