@@ -109,3 +109,55 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+# ---------------------------------------------------------------- clustering
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).map(
+        lambda p: (min(p), max(p) + 1)  # doc_a < doc_b, like real pairs
+    ),
+    min_size=0,
+    max_size=40,
+    unique=True,
+)
+
+
+def _reference_components(edges):
+    """Independent pure-Python reference: BFS connected components,
+    label = min node of the component."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {}
+    for start in sorted(adj):
+        if start in labels:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            n = frontier.pop()
+            for m in adj[n]:
+                if m not in comp:
+                    comp.add(m)
+                    frontier.append(m)
+        lab = min(comp)
+        for n in comp:
+            labels[n] = lab
+    return labels
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges=edge_st)
+def test_cluster_labels_matches_bfs_reference(spark, edges):
+    """cluster_labels (driver union-find path) must assign exactly the
+    BFS-reference component labels for arbitrary pair graphs."""
+    from s3spark.queries.llm import cluster_labels
+
+    pairs = spark.createDataFrame(
+        edges or [(0, 1)][:0], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in cluster_labels(spark, pairs).collect()
+    }
+    assert got == _reference_components(edges)
