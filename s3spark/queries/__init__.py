@@ -12,6 +12,7 @@ first, already-witnessed keys follow.
 """
 
 from s3spark.queries import (  # noqa: F401
+    ann2,
     # --- §2.3 core engine surface (register first) ---
     scans,
     filters,

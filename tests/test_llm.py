@@ -264,3 +264,19 @@ def test_minhash_survivors_consistent_with_exact_on_shared_domain(
     }
     dropped_all = set(range(total)) - mh_ids
     assert dropped_all <= paired, "dropped a doc with no candidate pair"
+
+
+def test_ann_lsh_hand_recall_vs_exact(spark, sf_dir):
+    """Deterministic hand-rolled sign-LSH (oracle-verified buckets):
+    10 tables x 4 bits measures recall 0.76/0.80 at sf0.01/sf0.1 vs
+    exact top-5; floor with margin."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    hand = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_ann_lsh_hand"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & hand) / len(exact)
+    assert recall >= 0.7, f"hand-LSH recall {recall:.2f} < 0.7"
