@@ -123,3 +123,142 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_files"
         ),
     )
+
+
+_KM_K = 8
+# reduced distance: ||v-c||² - ||v||² = c·c - 2·v·c — the per-row v·v
+# term is constant under the argmin, so BOTH engines rank by the same
+# reduced expression (identical floats → identical assignments)
+_KM_DIST = (
+    "(list_dot_product({c}, {c}) - 2 * list_dot_product({v}, {c}))"
+)
+
+_KM_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_KM_K}),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT t.vec_id, t.v, c.cid,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_KM_DIST.format(v='t.v', c='c.cv')}, c.cid) AS rk
+    FROM v t CROSS JOIN c0 c) s
+  WHERE rk = 1
+),
+c1 AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, i AS dim, AVG(v[i]) AS m
+    FROM a1, UNNEST(range(1, len(v) + 1)) AS u(i)
+    GROUP BY cid, i) d
+  GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT t.vec_id, t.v, c.cid,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_KM_DIST.format(v='t.v', c='c.cv')}, c.cid) AS rk
+    FROM a1 t CROSS JOIN c1 c) s
+  WHERE rk = 1
+)
+SELECT cid, COUNT(*) AS n_vecs,
+       round(sqrt((SELECT list_dot_product(cv, cv) FROM c1 WHERE c1.cid = a2.cid)), 6)
+         AS centroid_norm
+FROM a2
+GROUP BY cid
+ORDER BY cid
+"""
+
+
+@register("ml_kmeans_lloyd", oracle=_KM_SQL)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd) with K=8 and TWO unrolled iterations, expressed
+    as pure dataflow with a full value oracle: deterministic init (the
+    first K vectors), assign → recompute → assign, report cluster
+    sizes + centroid norms.
+
+    Iterative ML on Spark without ml-lib randomness or driver loops:
+    each assignment is the map-side argmin-over-broadcast-centroid-
+    array pattern (sim_ann_ivf's), each centroid update is one
+    (cid, dim)-keyed average (embedding_centroids' shape) — per
+    iteration: one broadcast + one shuffle, so I iterations cost I
+    scans' worth of shuffle, never a driver round-trip.  Distances
+    fold left-to-right in both engines (see _fold note) so the argmin
+    ordering — and therefore every assignment — agrees exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+        """argmin_{cid} ||v - c||² via a single-row broadcast centroid
+        array + in-row array_min over (reduced-dist, cid) structs.
+        c·c rides pre-computed in the broadcast struct, so each row
+        pays exactly K dot products."""
+        carr = cents.withColumn("cc", dot(F.col("cv"), F.col("cv"))).agg(
+            F.collect_list(F.struct("cid", "cv", "cc")).alias("cents")
+        )
+        scored = pts.crossJoin(F.broadcast(carr)).withColumn(
+            "best",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        (c["cc"] - 2 * dot(F.col("v"), c["cv"])).alias(
+                            "dist"
+                        ),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+        )
+        return scored.select(
+            "vec_id", "v", F.col("best")["cid"].alias("cid")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        flat = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "x")
+        )
+        dims = flat.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+        return (
+            dims.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+
+    c0 = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = assign(vecs, c0)
+    c1 = recompute(a1)
+    a2 = assign(a1.select("vec_id", "v"), c1)
+    norms = c1.select(
+        "cid", F.round(F.sqrt(dot(F.col("cv"), F.col("cv"))), 6).alias(
+            "centroid_norm"
+        )
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(F.broadcast(norms), "cid")
+        .select("cid", "n_vecs", "centroid_norm")
+        .orderBy("cid")
+    )

