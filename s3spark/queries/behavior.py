@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import DEC, table
 from s3spark.registry import register
 
 
@@ -226,3 +226,116 @@ def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "window_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS path
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, path LIKE '%v%c%p%' AS converted,
+       CAST(length(path) AS BIGINT) AS n_events
+FROM seq
+ORDER BY user_id
+""",
+)
+def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style ordered sequence detection without the
+    clause (Spark has none): did each user view → click → purchase in
+    that order, with arbitrary events between?
+
+    Per user the event-type initials are folded into one path string
+    in (ts, event_id) order — a deterministic sort_array over
+    (ts, event_id, initial) structs, then a single LIKE — so pattern
+    matching over event sequences becomes ONE user-keyed shuffle plus
+    a row-local regex, the same cost as any per-user aggregate.  More
+    complex patterns (kleene stars, alternation, negation) are the
+    same plan with a different regex — this is the scalable shape for
+    sequence analytics Spark-side."""
+    e = table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(path.alias("path"))
+        .select(
+            "user_id",
+            F.col("path").like("%v%c%p%").alias("converted"),
+            F.length("path").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+SELECT user_id, date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, day
+ORDER BY user_id, day
+""",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a daily (user, day) aggregate is
+    kept up to date by MERGING a late-arriving delta (10% of events,
+    event_id % 10 = 0) into the previously materialized base
+    aggregate — recomputing ONLY the partial states, never rescanning
+    the base fact rows.
+
+    Both sides reduce to mergeable partial aggregates (count, decimal
+    sum) combined with a full-outer coalesce-add on the group key —
+    the streaming/backfill pattern that turns a daily 100 TB rescan
+    into a delta-sized job.  The ORACLE is the full recompute over
+    all events: hash-equality proves base+delta merge == recompute,
+    which is exactly the IVM correctness contract."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", day).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+
+    base = daily(e.filter(F.col("event_id") % 10 != 0))
+    delta = daily(e.filter(F.col("event_id") % 10 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.user_id") == F.col("d.user_id"))
+        & (F.col("b.day") == F.col("d.day")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        F.coalesce(F.col("b.day"), F.col("d.day")).alias("day"),
+        (
+            F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("b.sum_value"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col("d.sum_value"), F.lit(0).cast(DEC))
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+    return merged.orderBy("user_id", "day")

@@ -259,3 +259,75 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, trigram FROM (
+    SELECT doc_id,
+           string_split(text, ' ') AS toks,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+    WHERE doc_id < 500
+  ) t, LATERAL (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS trigram) g
+  WHERE i + 2 <= len(toks)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.trigram = b.trigram AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / s1.n, 6) AS containment
+FROM inter
+JOIN sizes s1 ON doc_a = s1.doc_id
+WHERE n_common * 1.0 / s1.n >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection: |A∩B| / |A| ≥ 0.8 —
+    doc_a is (nearly) CONTAINED in doc_b, the quote/excerpt/superset
+    relationship symmetric Jaccard misses (a paragraph pasted into a
+    long page scores low Jaccard but containment ≈ 1).
+
+    Same inverted-index shape as dedup_ngram_jaccard — one equi-join
+    on the shingle, per-pair intersection counts, normalized by the
+    CONTAINED side's shingle count only — so the directed pair (a→b)
+    and (b→a) fall out of one ordered join without a second pass.
+    Bounded to the doc_id < 500 verifier domain like its symmetric
+    sibling; the MinHash banding upstream is the unbounded candidate
+    path (containment re-rank swaps in for the jaccard estimate)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    trigrams = F.expr(
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    sh = words.select("doc_id", F.explode(trigrams).alias("trigram")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.trigram") == F.col("b.trigram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    cont = F.col("n_common") / F.col("s1.n")
+    return (
+        inter.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
