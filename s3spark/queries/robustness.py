@@ -158,3 +158,40 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("clip"), 1)).alias("n_clipped"),
     )
+
+
+@register(
+    "scan_parquet_corrupt_skip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT r_regionkey) AS n_regions,
+       CAST(SUM(r_regionkey) AS BIGINT) AS key_sum
+FROM (SELECT * FROM region UNION ALL SELECT * FROM region) t
+""",
+)
+def scan_parquet_corrupt_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-input resilience: a directory holding two good parquet
+    part files and one garbage file (truncated bytes, .parquet
+    extension) must still serve the two good files when read with
+    ``ignoreCorruptFiles`` — the quarantine-and-continue semantics a
+    100 TB ingest needs when one object in a million is torn.
+
+    The option is passed per-read (never session conf, per the repo
+    hygiene rule).  Oracle: the aggregate over region×2 — exactly the
+    two good files' content, proving the corrupt file was skipped and
+    nothing else was."""
+    out = scratch_dir("corrupt-skip")
+    r = table(spark, sf_dir, "region")
+    r.coalesce(1).write.mode("overwrite").parquet(out)
+    r.coalesce(1).write.mode("append").parquet(out)
+    # plant a torn file: parquet magic so it's picked up, then garbage
+    with open(f"{out}/part-junk.parquet", "wb") as fh:
+        fh.write(b"PAR1" + b"\x00" * 64)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("r_regionkey").alias("n_regions"),
+        F.sum("r_regionkey").cast("long").alias("key_sum"),
+    )

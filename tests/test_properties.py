@@ -161,3 +161,50 @@ def test_cluster_labels_matches_bfs_reference(spark, edges):
         r.doc_id: r.cluster_id for r in cluster_labels(spark, pairs).collect()
     }
     assert got == _reference_components(edges)
+
+
+# --------------------------------------------------------------- jaccard
+
+_words = st.sampled_from(
+    ["key", "row", "scan", "fast", "table", "value", "part", "merge"]
+)
+docs_st = st.lists(
+    st.lists(_words, min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _brute_jaccard_pairs(docs):
+    def tris(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    sets = {i: tris(t) for i, t in enumerate(docs)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                    out.add((a, b))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_st)
+def test_jaccard_pairs_matches_brute_force(spark, docs):
+    """jaccard_pairs (inverted-index join) must produce exactly the
+    brute-force trigram-Jaccard >= 0.5 pair set on arbitrary tiny
+    corpora — including sub-3-token docs (the descending-sequence
+    guard) and empty-trigram docs."""
+    from s3spark.queries.llm import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(df).collect()
+    }
+    assert got == _brute_jaccard_pairs(docs)
