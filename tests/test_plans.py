@@ -299,3 +299,40 @@ def test_curation_pipeline_single_big_side_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(source") == 1
     assert plan.count("Exchange") <= 7
+
+
+def test_no_undeclared_nested_loop_joins(spark, sf_dir):
+    """Registry-wide BNLJ gate: a BroadcastNestedLoopJoin is O(n*m)
+    work and only tolerable when the build side is CONSTANT-size.
+    Every key allowed here has one — scalar-subquery broadcasts
+    (winsorize caps, q11/q22 thresholds, corpus stats, date spine),
+    single-row centroid/plane arrays (kmeans, ivf), fixed 5-20 row
+    query sides (sim_*/edit distance), bounded exact baselines
+    (embedding cosine), the declared cross join, and theta (BuildLeft
+    plan-asserted separately).  Any NEW key that plans a nested loop
+    fails this test until it is either re-shaped to an equi-join or
+    consciously declared here."""
+    bnlj_ok = {
+        "agg_winsorize",
+        "dedup_embedding_cosine",
+        "funnel_stages",
+        "join_cross",
+        "join_theta_range",
+        "ml_kmeans_lloyd",
+        "q11_important_share",
+        "q22_dormant_customers",
+        "sim_ann_ivf",
+        "sim_cosine_topk",
+        "sim_knn_classify",
+        "text_edit_distance",
+        "text_unigram_logprob",
+        "timeseries_gapfill",
+    }
+    offenders = []
+    for name in sorted(REGISTRY):
+        if name in bnlj_ok or name == "stream_watermark_dedup":
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"undeclared nested-loop join in: {offenders}"
