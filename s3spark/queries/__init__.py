@@ -62,8 +62,7 @@ from s3spark.queries import (  # noqa: F401
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
-# (driver-witnessed).  These yield the front of the registration order
-# to the 104 keys the driver's window has never reached.
+# (driver-witnessed), the static fallback for _witnessed_keys() below.
 _WITNESSED_R1_R2 = frozenset({
     "agg_approx_distinct", "agg_corr_stddev", "agg_count_distinct",
     "agg_cube", "agg_global", "agg_groupby", "agg_grouping_sets",
@@ -93,11 +92,39 @@ _WITNESSED_R1_R2 = frozenset({
 })
 
 
+def _witnessed_keys() -> frozenset:
+    """Union of keys with a green (or rows-only-executed) row in ANY
+    CORRECTNESS_r*.json at the repo root — self-maintaining across
+    rounds, so each round's window automatically lands on keys no
+    prior round's driver run has recorded.  Falls back to the static
+    rounds-1+2 list if the files are unreadable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    seen: set = set()
+    found = False
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+            if isinstance(data, dict):
+                seen.update(data.keys())
+                found = True
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen) if found else _WITNESSED_R1_R2
+
+
 def _rotate_registry() -> None:
     from s3spark.registry import REGISTRY
 
-    unseen = {k: v for k, v in REGISTRY.items() if k not in _WITNESSED_R1_R2}
-    seen = {k: v for k, v in REGISTRY.items() if k in _WITNESSED_R1_R2}
+    witnessed = _witnessed_keys()
+    unseen = {k: v for k, v in REGISTRY.items() if k not in witnessed}
+    seen = {k: v for k, v in REGISTRY.items() if k in witnessed}
     REGISTRY.clear()
     REGISTRY.update(unseen)
     REGISTRY.update(seen)
