@@ -336,3 +336,55 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"undeclared nested-loop join in: {offenders}"
+
+
+def test_aqe_skew_join_splits_hot_partitions(spark, sf_dir):
+    """AQE skew-join handling is the runtime defense the cluster
+    profile relies on (manual salting keys are the deterministic
+    fallback): with one hot key dominating a sort-merge join, the
+    post-execution adaptive plan must mark the join skew-handled
+    (`skew=true`), proving oversized partitions were split.
+    Conf-gated in the test only (save/restore, same pattern as the
+    bloom-filter pin)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # without force, OptimizeSkewedJoin bails whenever the split
+        # might add a downstream shuffle — the cluster profile sets it
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows of key 0 vs 100 spread keys: key 0's partition is
+        # >2x the median and beyond the byte threshold
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        tail = spark.range(5_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionAll(tail)
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        j = left.join(right.hint("merge"), "k")
+        # collect() executes THIS queryExecution (a writer would clone
+        # the plan and hide the adaptive result)
+        assert len(j.collect()) == 205_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
