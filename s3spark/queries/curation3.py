@@ -331,3 +331,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         length(replace(text, ' ', '')) AS alpha_chars
+  FROM documents
+),
+rules AS (
+  SELECT doc_id,
+         len(w) BETWEEN 15 AND 5000 AS ok_len,
+         alpha_chars * 1.0 / len(w) BETWEEN 3 AND 10 AS ok_word_len,
+         len(list_distinct(w)) * 1.0 / len(w) > 0.2 AS ok_ttr,
+         len(list_filter(w, x -> x IN ('the', 'a'))) > 0 AS ok_stopwords
+  FROM t
+)
+SELECT doc_id, ok_len, ok_word_len, ok_ttr, ok_stopwords,
+       (ok_len AND ok_word_len AND ok_ttr AND ok_stopwords) AS keep
+FROM rules
+ORDER BY doc_id
+""",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: per-document rule flags
+    (length bounds, mean-word-length bounds, type-token ratio,
+    stopword presence) plus the final keep decision — reported as a
+    per-rule audit table, not just a filter, so a corpus owner can see
+    WHICH rule fires before committing to the drop.
+
+    All four rules are row-local array/string expressions fused into
+    the scan (zero shuffle beyond the output sort); the keep column is
+    the conjunction.  Swapping thresholds or adding rules is a
+    projection edit — the audit-table shape is the part that matters
+    at 100 TB, where 'why did my corpus shrink 40%?' must be
+    answerable per rule."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    alpha = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    ok_len = F.size(w).between(15, 5000)
+    ok_word_len = (alpha / F.size(w)).between(3, 10)
+    ok_ttr = (F.size(F.array_distinct(w)) / F.size(w)) > 0.2
+    ok_stop = (
+        F.size(F.filter(w, lambda x: x.isin("the", "a"))) > 0
+    )
+    return d.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_ttr.alias("ok_ttr"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_word_len & ok_ttr & ok_stop).alias("keep"),
+    ).orderBy("doc_id")
