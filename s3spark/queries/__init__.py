@@ -92,12 +92,36 @@ _WITNESSED_R1_R2 = frozenset({
 })
 
 
+# Keys whose IMPLEMENTATION changed after their last driver-witnessed
+# round: a prior green row no longer vouches for the current code, so
+# they are treated as unwitnessed (and ordered first) until the driver
+# re-records them.  Maintained by hand per round — add a key here when
+# rewriting it, remove it once a post-rewrite CORRECTNESS row lands.
+_DIRTY_KEYS = frozenset({
+    # rewritten in round 3, shipped without a fresh driver row:
+    "sim_ann_ivf",
+    "dedup_simhash",
+    "sink_dynamic_partition_overwrite",
+    # rewritten in round 4 (md5-portable hashes / determinism / guards):
+    "dedup_fuzzy_minhash",
+    "sim_ann_lsh_hand",
+    "decontaminate_ngram_overlap",
+    "curation_pipeline_e2e",
+    "dedup_minhash_survivors",
+})
+
+
 def _witnessed_keys() -> frozenset:
-    """Union of keys with a green (or rows-only-executed) row in ANY
-    CORRECTNESS_r*.json at the repo root — self-maintaining across
-    rounds, so each round's window automatically lands on keys no
-    prior round's driver run has recorded.  Falls back to the static
-    rounds-1+2 list if the files are unreadable."""
+    """Keys with a GREEN row in ANY CORRECTNESS_r*.json at the repo
+    root: ``err is None and hash_match`` for oracled keys, or an
+    executed rows-only row (``err == 'no_oracle'`` with a recorded
+    spark_rows) for approximate keys.  A key that ran and FAILED
+    (a real err, or hash/rows mismatch) stays un-witnessed so the
+    rotation keeps it at the front of the driver's verification
+    window until a green row lands.  Keys in ``_DIRTY_KEYS`` are
+    excluded regardless — their implementation changed after the row
+    was recorded.  Falls back to the static rounds-1+2 list if the
+    files are unreadable."""
     import glob
     import json
     import os
@@ -111,21 +135,40 @@ def _witnessed_keys() -> frozenset:
         try:
             with open(path, encoding="utf-8") as fh:
                 data = json.load(fh)
-            if isinstance(data, dict):
-                seen.update(data.keys())
-                found = True
         except (OSError, ValueError):
             continue
-    return frozenset(seen) if found else _WITNESSED_R1_R2
+        if not isinstance(data, dict):
+            continue
+        found = True
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("err") is None and row.get("hash_match") is True
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only:
+                seen.add(key)
+    base = frozenset(seen) if found else _WITNESSED_R1_R2
+    return base - _DIRTY_KEYS
 
 
 def _rotate_registry() -> None:
     from s3spark.registry import REGISTRY
 
     witnessed = _witnessed_keys()
-    unseen = {k: v for k, v in REGISTRY.items() if k not in witnessed}
+    # order: dirty-but-registered keys first (rewritten code with a
+    # stale green row), then never-witnessed keys, then witnessed.
+    dirty = {k: v for k, v in REGISTRY.items() if k in _DIRTY_KEYS}
+    unseen = {
+        k: v
+        for k, v in REGISTRY.items()
+        if k not in witnessed and k not in _DIRTY_KEYS
+    }
     seen = {k: v for k, v in REGISTRY.items() if k in witnessed}
     REGISTRY.clear()
+    REGISTRY.update(dirty)
     REGISTRY.update(unseen)
     REGISTRY.update(seen)
 

@@ -35,16 +35,24 @@ def _drop_table_and_location(spark: SparkSession, name: str) -> None:
         fs.delete(path, True)
 
 
-# Memo of (session id, sf_dir) pairs whose bucketed copies are already
-# materialized — a plain module-level set, so no session conf is ever
-# mutated as a side channel (policy: spark.conf.set only in session.py).
+# Memo of (applicationId, sf_dir) pairs whose bucketed copies are
+# already materialized — a plain module-level set, so no session conf
+# is ever mutated as a side channel (policy: spark.conf.set only in
+# session.py).  Keyed on the stable applicationId, NOT id(spark):
+# CPython reuses object addresses after GC, so a fresh session at a
+# recycled address could falsely hit an id()-keyed memo and skip
+# re-materializing tables its catalog has never seen.
 _BUCKETED_DONE: set = set()
 
 
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
     """Materialize bucketed copies once per (session, sf_dir)."""
-    marker = (id(spark), sf_dir)
-    if marker in _BUCKETED_DONE:
+    marker = (spark.sparkContext.applicationId, sf_dir)
+    if (
+        marker in _BUCKETED_DONE
+        and spark.catalog.tableExists("s3spark_orders_bucketed")
+        and spark.catalog.tableExists("s3spark_lineitem_bucketed")
+    ):
         return
     _drop_table_and_location(spark, "s3spark_orders_bucketed")
     _drop_table_and_location(spark, "s3spark_lineitem_bucketed")

@@ -66,8 +66,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     set of n distinct 8-grams, P(any collision) ≈ n²/2⁶⁵ — at n=10⁹
     that is ~3e-8, far below the pipeline's noise floor, and a
     collision only inflates a count by 1, never drops a match.
-    (Min fixture doc length is 10 words, so size(w)-8 >= 2 and the
-    sequence() below never runs descending.)"""
+    Docs under 8 words have no 8-grams by definition: the size(w) >= 8
+    guard keeps sequence() from running descending and emitting bogus
+    truncated shingles (same guard family as the trigram builders)."""
     d = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     ngrams = F.transform(
@@ -77,7 +78,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash BEFORE distinct: the shuffle for distinct then also carries
     # 8-byte keys, and the string never leaves the scan stage
     ng = (
-        d.select("doc_id", "source", F.explode(ngrams).alias("ngram"))
+        d.filter(F.size(w) >= 8)
+        .select("doc_id", "source", F.explode(ngrams).alias("ngram"))
         .select("doc_id", "source", F.xxhash64("ngram").alias("ngh"))
         .distinct()
     )

@@ -145,8 +145,12 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8)),
     )
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    # size(w) >= 8 guard: eval docs bypass the >=15-token quality
+    # filter, and a sub-8-word doc would make sequence() run descending
+    # and emit bogus truncated shingles on the Spark side only (the
+    # oracle's `i + 7 <= len(toks)` already drops them).
     ev_ng = (
-        d.filter(is_eval)
+        d.filter(is_eval & (F.size(w) >= 8))
         .select(F.explode(ngrams).alias("ngram"))
         .select(F.xxhash64("ngram").alias("ngh"))
         .distinct()
