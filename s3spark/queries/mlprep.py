@@ -186,8 +186,17 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cid, dim)-keyed average (embedding_centroids' shape) — per
     iteration: one broadcast + one shuffle, so I iterations cost I
     scans' worth of shuffle, never a driver round-trip.  Distances
-    fold left-to-right in both engines (see _fold note) so the argmin
-    ordering — and therefore every assignment — agrees exactly."""
+    fold left-to-right in both engines (see _fold note), so the
+    first assignment agrees exactly.  The SECOND assignment ranks
+    against AVERAGED centroids, and neither Spark's avg partials nor
+    DuckDB's AVG fix their accumulation order — the recomputed
+    centroids can differ between engines (and re-partitionings) by
+    ~1e-13 relative.  An argmin could flip only for a vector nearly
+    equidistant to two centroids;
+    tests/test_llm.py::test_kmeans_assignment_margin asserts the
+    best-vs-second-best distance gap across the fixture corpus is
+    > 1e-6, so assignments agree despite the reorder noise (same
+    guard pattern as the sign-LSH dot margin)."""
     e = table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id",
