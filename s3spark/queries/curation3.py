@@ -237,7 +237,33 @@ def shard_assignment_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_survivors", oracle=None)  # hash-specific → rows-only
+def _minhash_survivors_oracle() -> str:
+    from s3spark.queries.llm import _MINHASH_PAIRS_SQL
+
+    return f"""
+WITH RECURSIVE {_MINHASH_PAIRS_SQL},
+pairs AS (SELECT doc_a, doc_b FROM mh_pairs WHERE est >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+),
+labels AS (SELECT doc, MIN(lab) AS cid FROM reach GROUP BY doc),
+drops AS (SELECT doc FROM labels WHERE doc <> cid)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc FROM drops)
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_minhash_survivors", oracle=_minhash_survivors_oracle())
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup path end-to-end, unbounded: MinHash-banded
     candidate pairs over the FULL corpus → connected components →
@@ -245,11 +271,14 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the scale twin of ``dedup_survivors`` (which uses the
     bounded exact-Jaccard verifier domain): candidates come from the
-    K=12/6-band xxhash64 signatures, so the same three-shuffle
-    candidate plan runs at any corpus size and the drop list stays
-    dup_rate × corpus.  Hash-specific candidate set → rows-only;
-    tests/test_llm.py bounds it behaviorally against the exact
-    survivor set on the shared domain."""
+    K=12/6-band signatures, so the same three-shuffle candidate plan
+    runs at any corpus size and the drop list stays dup_rate × corpus.
+    FULL value oracle (round-3 verdict item 7): the md5-portable
+    MinHash pairs (see dedup_fuzzy_minhash) feed DuckDB's recursive
+    connected-components CTE, so the survivor set — not just its row
+    count — is engine-checked end-to-end.  tests/test_llm.py
+    additionally bounds it behaviorally against the exact survivor
+    set on the shared domain."""
     from s3spark.queries.llm import dedup_fuzzy_minhash
 
     pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")

@@ -172,12 +172,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d)
 
 
-@register("dedup_fuzzy_minhash", oracle=None)  # approximate → rows-only
+_MH_K, _MH_R, _MH_B = 12, 2, 6  # K components, B bands of R rows (B*R == K)
+
+# Engine-portable MinHash pair generation (shared by the pair key and
+# the survivor key's oracle): component k of a doc's signature is
+# MIN(md5('k:' || shingle)) — md5 hex is fixed-width lowercase in both
+# engines, so the LEXICOGRAPHIC min is the numeric min of the 128-bit
+# value and signatures agree byte-for-byte.
+_MH_SIG_COLS = ",\n         ".join(
+    f"MIN(md5('{k}:'||shingle)) AS h{k}" for k in range(_MH_K)
+)
+_MINHASH_PAIRS_SQL = f"""
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+mh_sh AS (
+  SELECT doc_id, toks[i]||' '||toks[i+1]||' '||toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM words) t
+  WHERE i + 2 <= len(toks)
+),
+mh_sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM mh_sh GROUP BY doc_id
+),
+mh_bands AS (
+  SELECT doc_id,
+         [{", ".join(f"h{k}" for k in range(_MH_K))}] AS sig,
+         b,
+         sig_list[2*b + 1] || sig_list[2*b + 2] AS bsig
+  FROM (SELECT *, [{", ".join(f"h{k}" for k in range(_MH_K))}] AS sig_list
+        FROM mh_sig) s,
+       UNNEST(range({_MH_B})) AS u(b)
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.sig AS sa, b2.sig AS sb
+  FROM mh_bands a
+  JOIN mh_bands b2
+    ON a.b = b2.b AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id
+),
+mh_pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(range({_MH_K}), i -> sa[i+1] = sb[i+1]))
+           / {_MH_K}.0 AS est
+  FROM mh_cand
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_PAIRS_SQL}
+SELECT doc_a, doc_b, round(est, 6) AS jaccard_sim
+FROM mh_pairs WHERE est >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_fuzzy_minhash", oracle=_MINHASH_SQL)
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate generation (the scale path),
-    hand-rolled from JVM built-ins: shingle → K=12 xxhash64 minhash
-    components → 6 bands × 2 rows → band-bucket equi-join →
-    signature-agreement similarity estimate.
+    hand-rolled from JVM built-ins: shingle → K=12 minhash components
+    → 6 bands × 2 rows → band-bucket equi-join → signature-agreement
+    similarity estimate.  FULL value oracle: the component hash is
+    md5('k:' || shingle) and the min is taken over the fixed-width hex
+    STRING (lexicographic == numeric for equal-length hex), so DuckDB
+    computes byte-identical signatures, bands, candidate sets, and
+    estimates — the md5-arithmetic trick from shard_assignment_hash
+    promoted to the whole dedup path (round-3 verdict item 3).  At
+    100 TB swap md5 for xxhash64 (one line, same plan shape) to halve
+    hash cost and shuffle width at the price of the cross-engine
+    oracle.
 
     This is the 100 TB plan: candidate pairs come from band-bucket
     EQUALITY (shuffle on the band key), and similarity is estimated
@@ -192,9 +256,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair dedup.  Runs over the FULL documents table at every
     SF (only the exact all-pairs verifier stays bounded);
     scale_stress.py records the 10×-docs ratio.  Deterministic by
-    construction (seeded xxhash64, no ml randomness).  Approximate →
-    rows-only; tests/test_llm.py bounds recall against exact pairs."""
-    K, R, B = 12, 2, 6  # K components, B bands of R rows (B*R == K)
+    construction.  tests/test_llm.py additionally bounds recall
+    against exact trigram-Jaccard pairs."""
+    K, R, B = _MH_K, _MH_R, _MH_B
     d = table(spark, sf_dir, "documents")
     # split ONCE in a prior Project: an inline split(text) inside the
     # transform lambda is re-evaluated on every element access
@@ -215,7 +279,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = words.select("doc_id", F.explode(trigrams).alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(
+                f"h{k}"
+            )
             for k in range(K)
         ]
     )
@@ -223,8 +289,8 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * R + r}") for r in range(R)], F.lit(b)
+                F.concat(
+                    *[F.col(f"h{b * R + r}") for r in range(R)]
                 ).alias("bsig"),
             )
             for b in range(B)
@@ -266,29 +332,65 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None)  # hash-function-specific → rows-only
+_SIMHASH_BITS = 48
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS hv
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(range({_SIMHASH_BITS})) AS u(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash document fingerprints, fully distributed:
-    token → xxhash64 → per-bit ±1 votes → sign-aggregated bits →
-    recomposed signature.  Near-dups then reduce to hamming-distance
-    buckets on signature prefixes.
+    """48-bit SimHash document fingerprints, fully distributed:
+    token → md5-derived 48-bit hash → per-bit ±1 votes →
+    sign-aggregated bits → recomposed signature.  Near-dups then
+    reduce to hamming-distance buckets on signature prefixes.
+
+    FULL value oracle (round-3 verdict item 3): the token hash is the
+    first 12 md5 hex chars parsed as an integer — Spark via
+    conv(hex,16,10), DuckDB via CAST('0x'||hex AS BIGINT) — so both
+    engines vote on identical bits and the signatures hash-match
+    exactly.  48 bits (not 64) keeps the parse inside exact BIGINT
+    range with headroom in both engines; at 100 TB swap in xxhash64
+    for a 64-bit fingerprint at half the hash cost (same plan shape,
+    engine-specific hash → rows-only again).
 
     The per-bit voting happens ENTIRELY in-row: hash the token array
-    once, then one ``aggregate`` HOF folds every token's 64 bit-votes
-    into a 64-int accumulator via ``zip_with`` — a pure projection,
+    once, then one ``aggregate`` HOF folds every token's 48 bit-votes
+    into a 48-int accumulator via ``zip_with`` — a pure projection,
     ZERO shuffle (the round-1..2 version exploded to (doc, token)
-    rows and shuffled 64 partial sums per doc; signatures are
-    identical).  Hash-function specific, so rows-only; tests pin
-    identical-text ⇒ identical signature and near-dup ⇒ small
-    hamming distance."""
+    rows and shuffled 64 partial sums per doc; the oracle's
+    explode-and-groupBy formulation computes the same votes).  Tests
+    additionally pin identical-text ⇒ identical signature and
+    near-dup ⇒ small hamming distance."""
     d = table(spark, sf_dir, "documents")
-    hs = F.transform(_tokens(), lambda t: F.xxhash64(t))
-    bits = F.sequence(F.lit(0), F.lit(63))
+    hs = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    bits = F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
     # call_function("shift*") because the F.shift* wrappers take only a
     # Python-int bit count and here the bit index is a lambda Column
     votes = F.aggregate(
         hs,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), _SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             bits,
