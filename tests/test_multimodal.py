@@ -1,49 +1,153 @@
-"""Multimodal-column plumbing tests: binary payload integrity, decode
-batch contract, determinism, and stub failure mode (SURVEY.md §5.2 /
-north-star multimodal mandate)."""
+"""Multimodal-column tests: binary payload integrity, REAL codec
+round-trips (PNG chunk/CRC/inflate/de-filter, RIFF/WAV), decode batch
+contract, determinism, and corrupt-payload failure modes (SURVEY.md
+§5.2 / north-star multimodal mandate)."""
 
 from __future__ import annotations
 
 import pytest
 
 import s3spark.queries  # noqa: F401
-from s3spark.queries.multimodal import _fake_decode
+from s3spark.queries.multimodal import (
+    _decode_png,
+    _decode_wav,
+    _encode_png,
+    _encode_wav,
+    _img_dims,
+    _wav_frames,
+)
 from s3spark.registry import REGISTRY
 
 
-def test_decode_schema_and_byte_counts_match_binary_meta(spark, sf_dir):
-    meta = {r.doc_id: r.n_bytes for r in
-            REGISTRY["mm_binary_meta"].fn(spark, sf_dir).collect()}
-    decoded = REGISTRY["mm_decode_stub"].fn(spark, sf_dir).collect()
-    assert decoded[0].__fields__ == [
-        "doc_id", "n_bytes", "width", "height", "channels", "format"
+def test_png_codec_roundtrip_kernel():
+    """The encode/decode pair is a real PNG implementation: decoded
+    dimensions and pixels match the generator exactly."""
+    for doc_id in (0, 7, 123):
+        w, h = _img_dims(doc_id)
+        dw, dh, depth, ctype, px = _decode_png(_encode_png(doc_id))
+        assert (dw, dh, depth, ctype) == (w, h, 8, 0)
+        assert list(px) == [
+            (x + 3 * y + doc_id) % 256 for y in range(h) for x in range(w)
+        ]
+
+
+def test_png_decoder_handles_all_filter_types():
+    """De-filtering is real: a PNG re-encoded with Sub/Up/Average/
+    Paeth filter rows must decode to the same pixels as filter-None."""
+    import struct
+    import zlib
+
+    from s3spark.queries.multimodal import _png_chunk
+
+    w, h = 5, 5
+    base = [(x * 7 + y * 3) % 256 for y in range(h) for x in range(w)]
+
+    def encode_with_filters(filters):
+        raw = bytearray()
+        prev = [0] * w
+        for y in range(h):
+            line = base[y * w : (y + 1) * w]
+            ft = filters[y % len(filters)]
+            raw.append(ft)
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                if ft == 0:
+                    enc = line[x]
+                elif ft == 1:
+                    enc = line[x] - a
+                elif ft == 2:
+                    enc = line[x] - b
+                elif ft == 3:
+                    enc = line[x] - (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                    enc = line[x] - pred
+                raw.append(enc & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        _, _, _, _, px = _decode_png(encode_with_filters(filters))
+        assert list(px) == base, f"filter set {filters} mis-decoded"
+
+
+def test_png_decoder_rejects_corruption():
+    good = bytearray(_encode_png(3))
+    with pytest.raises(ValueError, match="magic"):
+        _decode_png(b"GIF89a" + bytes(good[6:]))
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IDAT body → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(flipped))
+
+
+def test_wav_codec_roundtrip_kernel():
+    for doc_id in (0, 9, 150):
+        n, sr, ch, frames = _decode_wav(_encode_wav(doc_id))
+        assert (n, sr, ch) == (_wav_frames(doc_id), 8000, 1)
+        assert frames[: 5] == bytes(
+            (i * (doc_id + 3) + 7) % 256 for i in range(5)
+        )
+
+
+def test_decode_png_query_matches_generator(spark, sf_dir):
+    out = REGISTRY["mm_decode_png"].fn(spark, sf_dir).collect()
+    assert out, "no images decoded"
+    assert out[0].__fields__ == [
+        "doc_id", "width", "height", "bit_depth", "color_type",
+        "n_pixels", "pixel_sum",
     ]
-    for r in decoded:
-        assert r.n_bytes == meta[r.doc_id]  # decode saw the exact payload bytes
-        assert 16 <= r.width < 256 and 16 <= r.height < 256
-        assert r.channels in (1, 2, 3)
-        assert r.format in ("png", "jpeg", "webp")
+    for r in out:
+        w, h = _img_dims(r.doc_id)
+        assert (r.width, r.height) == (w, h)
+        assert r.n_pixels == w * h
+        assert r.pixel_sum == sum(
+            (x + 3 * y + r.doc_id) % 256 for y in range(h) for x in range(w)
+        )
 
 
 def test_decode_is_deterministic(spark, sf_dir):
-    a = REGISTRY["mm_decode_stub"].fn(spark, sf_dir).collect()
-    b = REGISTRY["mm_decode_stub"].fn(spark, sf_dir).collect()
+    a = REGISTRY["mm_decode_png"].fn(spark, sf_dir).collect()
+    b = REGISTRY["mm_decode_png"].fn(spark, sf_dir).collect()
     assert a == b
 
 
 def test_frame_sample_fans_out_rows(spark, sf_dir):
-    frames = REGISTRY["mm_frame_sample"].fn(spark, sf_dir).collect()
+    frames = REGISTRY["mm_frame_sample_wav"].fn(spark, sf_dir).collect()
     by_doc: dict[int, list] = {}
     for r in frames:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert by_doc, "no frames sampled"
     for doc_id, rs in by_doc.items():
-        assert [r.frame_no for r in sorted(rs, key=lambda x: x.frame_no)] == list(
-            range(len(rs))
-        )
-        assert all(len(r.frame_md5_prefix) <= 16 for r in rs)
+        rs = sorted(rs, key=lambda x: x.frame_no)
+        assert [r.frame_no for r in rs] == list(range(len(rs)))
+        n = _wav_frames(doc_id)
+        for r in rs:
+            assert r.n_frames == n
+            assert r.sample_offset == r.frame_no * n // 4
+            assert r.sample_value == (r.sample_offset * (doc_id + 3) + 7) % 256
 
 
-def test_stub_decoder_raises_on_empty_payload():
-    with pytest.raises(NotImplementedError):
-        _fake_decode(b"")
+def test_resize_samples_expected_pixels(spark, sf_dir):
+    out = REGISTRY["mm_image_resize"].fn(spark, sf_dir).collect()
+    assert out, "no thumbnails"
+    for r in out[:20]:
+        w, h = _img_dims(r.doc_id)
+        thumb = [
+            ((xx * w // 8) + 3 * (yy * h // 8) + r.doc_id) % 256
+            for yy in range(8)
+            for xx in range(8)
+        ]
+        assert r.thumb_sum == sum(thumb)
+        assert r.center_px == thumb[4 * 8 + 4]

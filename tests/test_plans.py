@@ -61,8 +61,9 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "udf_arrow_map",
         "udtf_python_custom",
         "source_python_datasource",
-        "mm_decode_stub",
-        "mm_frame_sample",
+        "mm_decode_png",
+        "mm_image_resize",
+        "mm_frame_sample_wav",
     }
     offenders = []
     for name in sorted(REGISTRY):
