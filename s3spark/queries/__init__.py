@@ -108,6 +108,7 @@ _DIRTY_KEYS = frozenset({
     "decontaminate_ngram_overlap",
     "curation_pipeline_e2e",
     "dedup_minhash_survivors",
+    "agg_approx_percentile",
 })
 
 

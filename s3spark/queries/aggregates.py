@@ -124,7 +124,10 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (mergeable, shuffle-light —
     the 100 TB path where exact distinct would shuffle every key).
-    Approximate, so oracle is rows-only; tests bound the rsd."""
+    Oracle impossible by construction: HLL++ register contents are
+    engine-private (Spark's implementation vs DuckDB's), so the
+    estimates differ by design on the same input; rows-only, with
+    tests bounding the rsd against the exact count."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")

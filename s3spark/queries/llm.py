@@ -546,7 +546,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (BucketedRandomProjectionLSH,
     seeded): each vector lands in a bucket per hash table; neighbor
     candidates share a bucket — shuffle on bucket id, never all-pairs.
-    tests/test_llm.py measures recall vs sim_cosine_topk."""
+    Oracle impossible by construction: ml-lib's hyperplane family is
+    engine-private (seeded JVM RNG), so no external engine can
+    reproduce the buckets — the hand-rolled sim_ann_lsh_hand key
+    exists precisely to give this algorithm class a full value oracle
+    via literal planes.  tests/test_llm.py measures recall vs
+    sim_cosine_topk."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -579,7 +584,57 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf", oracle=None)  # approximate → rows-only
+_IVF_SQL = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, sqrt(list_dot_product(v, v)) AS ncv
+  FROM vecs WHERE vec_id < 16
+),
+scored AS (
+  SELECT t.vec_id, c.cent_id, list_dot_product(t.v, c.cv) / c.ncv AS s
+  FROM vecs t CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rk
+  FROM scored
+),
+assigned AS (
+  SELECT v.vec_id, v.v, r.cent_id AS cluster_id,
+         sqrt(list_dot_product(v.v, v.v)) AS nc
+  FROM vecs v JOIN ranked r ON r.vec_id = v.vec_id AND r.rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS nq
+  FROM vecs WHERE vec_id < 5
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS qc
+  FROM ranked WHERE vec_id < 5 AND rk <= 2
+),
+cand AS (
+  SELECT q.query_id, a.vec_id,
+         list_dot_product(q.qv, a.v) / (q.nq * a.nc) AS cos
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN assigned a ON a.cluster_id = p.qc AND a.vec_id <> p.query_id
+),
+rr AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
+       CAST(rn AS BIGINT) AS rn
+FROM rr WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@register("sim_ann_ivf", oracle=_IVF_SQL)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF-style coarse quantization: 16 fixed centroids (the
     first 16 vectors — deterministic, no training), every vector is
@@ -590,7 +645,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is tuned by probing more centroids.  Query norms are
     precomputed ONCE on the (tiny) query side — never inside the
     scored candidate join (the repo's measured ~3× rule, _norm
-    docstring).  tests/test_llm.py measures recall vs exact."""
+    docstring).
+
+    FULL value oracle (round-3 verdict item 7): every number here —
+    centroid scores, assignments, probe lists, final cosines — is
+    in-row sequential-fold arithmetic with deterministic tie-breaks
+    (score DESC, cent_id ASC), no accumulation-order dependence
+    anywhere, so DuckDB reproduces the identical partition, candidate
+    sets, and top-5 (the same reasoning that makes sim_cosine_topk
+    oracle-exact).  tests/test_llm.py additionally measures recall vs
+    exact."""
     e = table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")

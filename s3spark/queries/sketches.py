@@ -62,8 +62,11 @@ def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges the 25 sketches and estimates the global distinct count —
     the pre-aggregated-rollup pattern where per-segment sketches are
     stored once and unioned at query time at any grouping, never
-    rescanning raw data.  Rows-only key; tests/test_llm.py bounds the
-    estimate within 5% of exact."""
+    rescanning raw data.  Oracle impossible by construction: the
+    estimate is read out of DataSketches HLL registers, and DuckDB's
+    approx_count_distinct uses its own HLL implementation — the two
+    sketches cannot agree bit-for-bit on any fixed input.  Rows-only
+    key; tests/test_llm.py bounds the estimate within 5% of exact."""
     c = table(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg(F.col("c_custkey")).alias("sk")
