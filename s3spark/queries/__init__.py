@@ -52,6 +52,7 @@ from s3spark.queries import (  # noqa: F401
     robustness,
     scalars2,
     scalars3,
+    scale4,
     scale_ops,
     sketches,
     sources2,

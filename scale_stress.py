@@ -28,7 +28,12 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              "window_running", "q18_large_orders", "agg_salted_skew",
              "join_salted_skew", "agg_bitmap_distinct",
              "q4_order_priority", "q6_forecast_revenue",
-             "q7_volume_shipping", "q12_shipmode_priority"]
+             "q7_volume_shipping", "q12_shipmode_priority",
+             # round-4 scale ops: bloom-pruned shuffle join, bounded
+             # bucket-prune heavy hitters, Morton layout, checkpointed
+             # iterative PageRank — all lineitem/orders-driven
+             "join_bloom_prune", "agg_heavy_hitters_twopass",
+             "sort_zorder_layout", "graph_pagerank_unrolled"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth

@@ -316,6 +316,7 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
     bnlj_ok = {
         "agg_winsorize",
         "dedup_embedding_cosine",
+        "join_bloom_prune",  # 1-row 4 KB bloom-bitmap broadcast
         "funnel_stages",
         "join_cross",
         "join_theta_range",
@@ -389,3 +390,59 @@ def test_aqe_skew_join_splits_hot_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prune_filters_below_join_exchange(spark, sf_dir):
+    """join_bloom_prune: the bloom membership test must sit BELOW the
+    fact-side shuffle (that is the whole point — rows failing the
+    bloom never cross the wire), the final join must be the declared
+    shuffle-hash join, and the fact scan must stay pruned to the 3
+    referenced columns."""
+    plan = plan_of(spark, sf_dir, "join_bloom_prune")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom broadcast
+    # tree prints parent before child: the fact-side exchange must be
+    # an ancestor of the bloom probe join
+    assert plan.index("Exchange hashpartitioning(l_partkey") < plan.index(
+        "BroadcastNestedLoopJoin"
+    )
+    read = plan[plan.index("ReadSchema: struct<l_partkey") :].splitlines()[0]
+    assert "l_extendedprice" in read and "l_shipdate" not in read
+
+
+def test_heavy_hitters_bucket_pass_is_bounded_and_broadcast(spark, sf_dir):
+    """agg_heavy_hitters_twopass: pass 1 must partial-aggregate the
+    BOUNDED bucket key map-side (<=B rows ever shuffle) and the heavy
+    bucket ids must come back as a broadcast, not a shuffle join; both
+    scans must read only o_custkey."""
+    plan = plan_of(spark, sf_dir, "agg_heavy_hitters_twopass")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ReadSchema: struct<o_custkey:bigint>") == 2
+
+
+def test_zorder_is_codegen_bitmath_with_range_partitioning(spark, sf_dir):
+    """sort_zorder_layout: the Morton interleave must be plain codegen
+    bitwise expressions feeding a rangepartitioning exchange on the
+    z-value — no Python evaluation, no extra shuffles beyond layout +
+    stats."""
+    plan = plan_of(spark, sf_dir, "sort_zorder_layout")
+    assert "Exchange rangepartitioning(zval" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 3  # layout + stats agg + final sort
+
+
+def test_pagerank_single_scan_and_partial_sums(spark, sf_dir):
+    """graph_pagerank_unrolled: iteration state (the degree-annotated
+    edge list) must be checkpointed — the final plan reads ONLY the
+    materialized edge table (once per unrolled iteration), never the
+    raw lineitem input, whose scan/dedup would otherwise re-expand 4x
+    through the unrolled lineage.  Contributions must partial-sum
+    map-side and the top-20 must be a TakeOrderedAndProject, not a
+    global sort."""
+    plan = plan_of(spark, sf_dir, "graph_pagerank_unrolled")
+    assert "lineitem" not in plan
+    assert plan.count("FileScan parquet") == 2  # ed in r1 + ed in r2
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
