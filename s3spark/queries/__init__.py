@@ -47,6 +47,7 @@ from s3spark.queries import (  # noqa: F401
     mlprep,
     multimodal,
     pipeline2,
+    pipeline4,
     planner2,
     quality,
     robustness,

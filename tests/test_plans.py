@@ -314,7 +314,10 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
     fails this test until it is either re-shaped to an equi-join or
     consciously declared here."""
     bnlj_ok = {
+        "agg_kmv_distinct",  # two 1-row aggregates cross-joined
         "agg_winsorize",
+        "bpe_train_unrolled",  # 1-row argmax-pair + 1-row corpus total
+        "dedup_semdedup",  # 1-row broadcast centroid array (ivf pattern)
         "dedup_embedding_cosine",
         "join_bloom_prune",  # 1-row 4 KB bloom-bitmap broadcast
         "funnel_stages",
