@@ -812,6 +812,177 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# join_pit_features
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_pit_features",
+    oracle="""
+WITH probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+purch AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       round(pu.value, 6) AS last_purchase_value,
+       round(cl.value, 6) AS last_click_value
+FROM probes p
+ASOF LEFT JOIN purch pu ON p.user_id = pu.user_id AND p.ts >= pu.ts
+ASOF LEFT JOIN clicks cl ON p.user_id = cl.user_id AND p.ts >= cl.ts
+ORDER BY p.event_id
+""",
+)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature-store join: for every training example
+    (view event), attach the as-of value of N feature streams (last
+    purchase value, last click value) at-or-before the example's
+    timestamp — the leakage-free backfill every feature store runs
+    before training.
+
+    The scale property vs running join_asof N times: ALL feature
+    streams union into ONE user-keyed window pass, one shuffle + one
+    sort TOTAL for any number of features (each feature is one more
+    last(ignorenulls) over the same frame), where N separate as-of
+    joins would cost N shuffles of the probe side.  State per key
+    stays N running values — bounded, survives 100 TB.  Reference
+    rows sort before probes on timestamp ties (kind 0 < 1) so an
+    example coinciding with a feature event sees it, matching
+    DuckDB's inclusive ASOF."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("pv"),
+        F.lit(None).cast("double").alias("cv"),
+        F.lit(1).alias("kind"),
+    )
+
+    def refs(etype: str, col: str) -> DataFrame:
+        return e.filter(F.col("event_type") == etype).select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("pv")
+            if col == "pv"
+            else F.lit(None).cast("double").alias("pv"),
+            F.col("value").alias("cv")
+            if col == "cv"
+            else F.lit(None).cast("double").alias("cv"),
+            F.lit(0).alias("kind"),
+        )
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        probes.unionByName(refs("purchase", "pv"))
+        .unionByName(refs("click", "cv"))
+        .withColumn("lp", F.last("pv", ignorenulls=True).over(w))
+        .withColumn("lc", F.last("cv", ignorenulls=True).over(w))
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("lp", 6).alias("last_purchase_value"),
+            F.round("lc", 6).alias("last_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_incremental_manifest_diff
+# --------------------------------------------------------------------------
+
+_INC_CUT = 30  # fb >= 30 <=> l_shipdate year >= 2000
+
+_INC_SQL = f"""
+WITH f AS (
+  SELECT (year(l_shipdate) - 1995) * 6 + (month(l_shipdate) - 1) // 2 AS fb
+  FROM lineitem
+)
+SELECT (SELECT CAST(COUNT(DISTINCT fb) AS BIGINT) FROM f
+        WHERE fb >= {_INC_CUT}) AS n_new_files,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE (year(l_shipdate) - 1995) * 6 + (month(l_shipdate) - 1) // 2
+      >= {_INC_CUT}
+"""
+
+
+@register("scan_incremental_manifest_diff", oracle=_INC_SQL)
+def scan_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) table read via manifest diff: commit 1
+    writes the historical partitions, commit 2 APPENDS the new ones,
+    and the incremental consumer lists the file set before and after,
+    reads ONLY the difference, and aggregates just the newly-committed
+    rows — the Iceberg incremental-scan / Delta CDF consumption
+    pattern, emulated explicitly because the jars are absent
+    (ROUND_NOTES probes; same stance as snapshot_time_travel).
+
+    The consumer never rescans history: work is proportional to the
+    appended data, which is what makes incremental pipelines viable
+    when the table is 100 TB but the day's delta is 100 GB.  The file
+    diff is a driver-side set difference over two listings (planner
+    metadata op, manifest-prune precedent); files are one per
+    two-month bucket so the diff — and the oracle — is
+    deterministic."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    fb = (
+        (F.year("l_shipdate") - 1995) * 6
+        + F.expr("(month(l_shipdate) - 1) div 2")
+    ).cast("int")
+    out = scratch_dir("incr") + "/lineitem_commits"
+    hist = li.withColumn("fb", fb).filter(F.col("fb") < _INC_CUT)
+    delta = li.withColumn("fb", fb).filter(F.col("fb") >= _INC_CUT)
+    hist.repartition("fb").write.partitionBy("fb").mode("overwrite").parquet(
+        out
+    )
+    spark.catalog.refreshByPath(out)
+    before = {
+        r["f"]
+        for r in spark.read.parquet(out)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    delta.repartition("fb").write.partitionBy("fb").mode("append").parquet(out)
+    spark.catalog.refreshByPath(out)
+    after = {
+        r["f"]
+        for r in spark.read.parquet(out)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    new_files = sorted(after - before)
+    inc = spark.read.parquet(*new_files)
+    return inc.agg(
+        F.lit(len(new_files)).cast("long").alias("n_new_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
 # stream_foreach_batch_upsert
 # --------------------------------------------------------------------------
 

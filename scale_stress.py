@@ -33,7 +33,12 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # bucket-prune heavy hitters, Morton layout, checkpointed
              # iterative PageRank — all lineitem/orders-driven
              "join_bloom_prune", "agg_heavy_hitters_twopass",
-             "sort_zorder_layout", "graph_pagerank_unrolled"]
+             "sort_zorder_layout", "graph_pagerank_unrolled",
+             # round-4 pipeline ops over the replicated fact tables:
+             # KMV distinct (unchanged distinct set, 10x scan), CMS
+             # (bounded d*w grid, 10x counts), manifest layout+prune
+             "agg_kmv_distinct", "agg_countmin_sketch",
+             "scan_manifest_prune"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -44,7 +49,12 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             "decontaminate_ngram_overlap", "doc_chunk_overlap",
             "sessionize_gaps", "retention_cohorts",
             "dedup_jaccard_capped", "dedup_survivors",
-            "curation_pipeline_e2e"]
+            "curation_pipeline_e2e",
+            # round-4 pipeline ops over docs/embeddings/events
+            # (embeddings grow only 4x sf0.01->sf0.1, and semdedup's
+            # cluster count scales with n — expect ~4x pair work)
+            "dedup_semdedup", "bpe_train_unrolled",
+            "quality_classifier_hashed", "cdc_apply_tombstones"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

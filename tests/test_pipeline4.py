@@ -179,6 +179,35 @@ def test_cdc_tombstone_users_absent(spark, sf_dir):
     assert deleted, "fixture should exercise the tombstone path"
 
 
+def test_pit_reference_streams_have_unique_event_times(spark, sf_dir):
+    """join_pit_features' last(ignorenulls) window is deterministic
+    only while no user has two purchase (or click) events at the SAME
+    timestamp with different values — pin that fixture invariant so a
+    future fixture change fails loudly instead of flaking."""
+    from s3spark.io import table
+
+    e = table(spark, sf_dir, "events")
+    dups = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id", "ts", "event_type")
+        .agg(F.countDistinct("value").alias("nv"))
+        .filter(F.col("nv") > 1)
+        .count()
+    )
+    assert dups == 0
+
+
+def test_incremental_diff_reads_only_delta(spark, sf_dir):
+    """The incremental consumer must read strictly less than the full
+    layout, and the new-file count must match the delta buckets."""
+    r = (
+        REGISTRY["scan_incremental_manifest_diff"].fn(spark, sf_dir).collect()
+    )[0]
+    full = REGISTRY["scan_manifest_prune"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r["n_new_files"] < full["n_files_total"]
+    assert r["n_rows"] > 0
+
+
 def test_quality_classifier_is_deterministic_and_discriminates(
     spark, sf_dir
 ):
