@@ -48,8 +48,10 @@ from s3spark.queries import (  # noqa: F401
     multimodal,
     pipeline2,
     pipeline4,
+    pipeline5,
     planner2,
     quality,
+    relational5,
     robustness,
     scalars2,
     scalars3,

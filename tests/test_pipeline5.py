@@ -1,0 +1,188 @@
+"""Behavioral tests for the round-4 relational5/pipeline5 keys —
+invariants the oracle hash-match alone can't pin (error bounds,
+graph identities, retention algebra, recursion depth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3spark.registry import REGISTRY
+import s3spark.queries  # noqa: F401  (registers everything)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rows(spark, key):
+    return REGISTRY[key].fn(spark, SF).collect()
+
+
+def test_kmv_intersection_error_bound(spark):
+    """The KMV intersection estimate must land within 35% relative of
+    the true intersection at K=256 on the 1995/1996 buyer sets (both
+    well above K, true Jaccard ~0.9 — an easy regime; a blowup here
+    means the sketch merge or match logic broke, not bad luck)."""
+    [r] = _rows(spark, "agg_kmv_intersection")
+    assert r.k_used == 256
+    assert r.true_inter > 0
+    rel = abs(r.inter_est - r.true_inter) / r.true_inter
+    assert rel <= 0.35, f"KMV intersection rel err {rel:.3f}"
+    # sketch-only path: matches can never exceed K
+    assert 0 <= r.matches <= 256
+
+
+def test_triangle_count_matches_unoriented_identity(spark):
+    """Degree-oriented triangle count must equal the naive
+    each-triangle-three-wedges count / 3 computed independently via
+    raw SQL — pinning that orientation neither drops nor
+    double-counts."""
+    [r] = _rows(spark, "graph_triangle_count")
+    assert r.n_triangles > 0 and r.n_edges > 0
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    # symmetrize, then count closed wedges (each triangle -> 6)
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    closed = (
+        sym.alias("e1")
+        .join(sym.alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        .join(
+            sym.alias("e3"),
+            (F.col("e3.u") == F.col("e2.v"))
+            & (F.col("e3.v") == F.col("e1.u")),
+        )
+        .count()
+    )
+    assert closed == 6 * r.n_triangles
+
+
+def test_segment_dedup_retention_algebra(spark):
+    """n_kept <= n_segs everywhere; total kept == number of DISTINCT
+    segments in the corpus (keep-first keeps exactly one occurrence
+    per distinct segment); short docs (<8 words) appear with
+    n_segs = 0."""
+    rows = _rows(spark, "doc_segment_dedup")
+    assert all(0 <= r.n_kept <= r.n_segs for r in rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.count()
+    distinct_segs = (
+        docs.select(F.split("text", " ").alias("w"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            (F.size("w") / 8).cast("int") - 1, F.lit(-1)
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i * 8 + 1, 8)
+                    ),
+                )
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_kept for r in rows) == distinct_segs
+
+
+def test_boilerplate_strip_consistent_with_dedup(spark):
+    """Same segment universe as doc_segment_dedup (n_segs per doc
+    identical), and every boilerplate segment is by construction a
+    duplicate: per-corpus total boilerplate occurrences can never
+    exceed total duplicate occurrences (segs - distinct segs ...
+    adjusted for the >=3-doc threshold keeping ALL occurrences)."""
+    ded = {r.doc_id: r for r in _rows(spark, "doc_segment_dedup")}
+    boi = {r.doc_id: r for r in _rows(spark, "doc_boilerplate_strip")}
+    assert set(ded) == set(boi)
+    for k in ded:
+        assert ded[k].n_segs == boi[k].n_segs
+        assert boi[k].n_kept == boi[k].n_segs - boi[k].n_boiler
+
+
+def test_recursive_cte_partitions_whole_key_space(spark):
+    """Every part lands under exactly one root (the closure is a
+    partition of the key space): sum of subtree sizes == |part|, and
+    max depth equals ceil(log10(max_key+1)) - 1 for the DIV 10
+    hierarchy."""
+    rows = _rows(spark, "sql_recursive_cte")
+    parts = spark.read.parquet(f"{SF}/part.parquet")
+    n = parts.count()
+    assert sum(r.n_parts for r in rows) == n
+    max_key = parts.agg(F.max("p_partkey")).collect()[0][0]
+    depth = len(str(max_key)) - 1
+    assert max(r.max_depth for r in rows) == depth
+
+
+def test_lateral_topk_matches_window_form(spark):
+    """The LATERAL spelling must return byte-identical rows to the
+    explicit window-rank top-2 per nation."""
+    got = [
+        (r.n_name, r.c_name, r.c_acctbal)
+        for r in _rows(spark, "join_lateral_topk")
+    ]
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_name"
+    )
+    want = (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_name", "c_acctbal")
+        .orderBy("n_name", F.col("c_acctbal").desc(), "c_name")
+        .collect()
+    )
+    assert got == [(r.n_name, r.c_name, r.c_acctbal) for r in want]
+
+
+def test_window_count_distinct_final_equals_group_distinct(spark):
+    """The running distinct count's final value per user must equal
+    the plain COUNT(DISTINCT event_type) per user."""
+    df = REGISTRY["window_count_distinct"].fn(spark, SF)
+    from s3spark.io import table
+
+    ev = table(spark, SF, "events")
+    want = {
+        r.user_id: r.d
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("d"))
+        .collect()
+    }
+    finals = {
+        r.user_id: r.distinct_types_so_far
+        for r in df.collect()  # ordered by ts: later rows overwrite
+    }
+    assert finals == want
+
+
+def test_new_keys_have_full_oracles():
+    for k in (
+        "sql_recursive_cte",
+        "join_lateral_topk",
+        "window_count_distinct",
+        "agg_kmv_intersection",
+        "graph_triangle_count",
+        "doc_segment_dedup",
+        "doc_boilerplate_strip",
+    ):
+        assert REGISTRY[k].oracle, f"{k} missing oracle"

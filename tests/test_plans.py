@@ -315,6 +315,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
     consciously declared here."""
     bnlj_ok = {
         "agg_kmv_distinct",  # two 1-row aggregates cross-joined
+        "agg_kmv_intersection",  # 1-row sketch stats × 1-row true count
+        "graph_triangle_count",  # 1-row edge count × 1-row triangle count
         "agg_winsorize",
         "bpe_train_unrolled",  # 1-row argmax-pair + 1-row corpus total
         "dedup_semdedup",  # 1-row broadcast centroid array (ivf pattern)
