@@ -45,6 +45,7 @@ from s3spark.queries import (  # noqa: F401
     etl,
     formats,
     mlprep,
+    mlprep2,
     multimodal,
     pipeline2,
     pipeline4,

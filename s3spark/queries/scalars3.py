@@ -174,3 +174,97 @@ def window_moving_zscore(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+_IPV4_SQL = """
+WITH ips AS (
+  SELECT event_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS BIGINT)
+           AS o1,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 2) AS BIGINT)
+           AS o2,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 5, 2) AS BIGINT)
+           AS o3,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 7, 2) AS BIGINT)
+           AS o4
+  FROM events
+),
+parsed AS (
+  SELECT event_id,
+         o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+         o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_int,
+         o1 AS oct1, o2 AS oct2
+  FROM ips
+)
+SELECT oct1 AS subnet8,
+       CAST(COUNT(*) AS BIGINT) AS n_addrs,
+       CAST(SUM(CASE WHEN oct1 = 10
+                      OR (oct1 = 172 AND oct2 BETWEEN 16 AND 31)
+                      OR (oct1 = 192 AND oct2 = 168)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_private,
+       CAST(MIN(ip_int) AS BIGINT) AS min_ip_int,
+       min_by(ip, ip_int) AS min_ip
+FROM parsed
+GROUP BY oct1
+ORDER BY subnet8
+"""
+
+
+@register("scalar_ip_cidr", oracle=_IPV4_SQL)
+def scalar_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parse / CIDR-membership / subnet rollup — the network-log
+    function family (aton, RFC-1918 private-range tests, /8 grouping)
+    over deterministic fixture IPs (octets from md5(event_id), since
+    the fixture has no address column; the FUNCTIONS under test are
+    the real surface).
+
+    Scale shape: everything up to the rollup is row-local scan-fused
+    arithmetic — parse, integer encode, CIDR mask tests compile to
+    codegen'd expressions, no UDF — then ONE hash shuffle onto at
+    most 256 /8 groups with map-side partials."""
+    e = table(spark, sf_dir, "events")
+
+    def octet(pos: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), pos, 2),
+            16,
+            10,
+        ).cast("long")
+
+    parsed = e.select(
+        octet(1).alias("o1"),
+        octet(3).alias("o2"),
+        octet(5).alias("o3"),
+        octet(7).alias("o4"),
+    ).select(
+        "o1",
+        "o2",
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ).alias("ip"),
+        (
+            F.col("o1") * 16777216
+            + F.col("o2") * 65536
+            + F.col("o3") * 256
+            + F.col("o4")
+        ).alias("ip_int"),
+    )
+    is_private = (
+        (F.col("o1") == 10)
+        | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+        | ((F.col("o1") == 192) & (F.col("o2") == 168))
+    )
+    return (
+        parsed.groupBy(F.col("o1").alias("subnet8"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_addrs"),
+            F.sum(is_private.cast("int")).cast("long").alias("n_private"),
+            F.min("ip_int").cast("long").alias("min_ip_int"),
+            F.min_by("ip", F.col("ip_int")).alias("min_ip"),
+        )
+        .orderBy("subnet8")
+    )

@@ -222,3 +222,164 @@ def sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "stream_outer_join_watermark",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id, click_id
+""",
+)
+def stream_outer_join_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: purchases paired
+    with same-user clicks in the preceding hour, and purchases with
+    NO such click emitted with a NULL click — the streaming semantics
+    that only exist once the watermark PROVES no match can still
+    arrive.
+
+    Mechanics (the part worth verifying): Spark holds an unmatched
+    purchase in join state until the click-side watermark passes its
+    match window, then emits the null row.  Under availableNow the
+    final data batch leaves the last hour of purchases unprovable, so
+    the key streams from a scratch copy of the fixture and runs
+    TWICE against one checkpoint (the multi-batch protocol from
+    test_watermark_drops_late_data): run 1 processes the corpus; a
+    far-future sentinel event is then appended and run 2 advances the
+    watermark past every purchase, flushing the remaining null rows.
+    Union of the two runs' emissions == the batch LEFT JOIN, giving
+    outer-join state eviction a full value oracle.
+
+    Scale shape: state is bounded by (watermark + 1 h interval) per
+    the join condition — the difference between a left-outer stream
+    join that runs at 100 TB/day and one whose state grows without
+    bound.  The scratch copy is a metadata-size fixture operation,
+    not part of the measured operator."""
+    import os
+    import shutil
+
+    from s3spark.io import scratch_dir
+    from s3spark.streaming import events_stream
+
+    stream_dir = scratch_dir("sojoin", fresh=True) + "/in"
+    os.makedirs(stream_dir, exist_ok=True)
+    shutil.copy(
+        f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet"
+    )
+    ckpt = scratch_dir("sojoin_ckpt", fresh=True)
+    out_dir = scratch_dir("sojoin_out", fresh=True)
+
+    def joined_stream() -> DataFrame:
+        ev = events_stream(spark, stream_dir)
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+            ),
+            "left_outer",
+        ).select("purchase_id", "click_id")
+
+    def run() -> None:
+        # parquet file sink — unlike the memory sink it supports
+        # checkpoint recovery, so watermark + offsets resume in run 2
+        q = (
+            joined_stream()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+
+    # sentinel: one far-future non-click event pushes the watermark
+    # past every purchase's match window (raw long-nanos ts schema,
+    # matching the fixture file so the file-source schema stays one)
+    max_ts = (
+        table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    def append_sentinel(tag: str, days: int) -> None:
+        # one far-future purchase AND click (the global watermark is
+        # the MIN over both sides' watermark nodes, and each node only
+        # sees rows that survive its event_type filter — a row of a
+        # third type would advance neither).  user_id -1 and the 2-day
+        # ts gap keep the pair from matching anything; the final
+        # result filters the sentinel purchase back out by id.  ts is
+        # written as TIMESTAMP_NTZ to match how the file source reads
+        # the fixture's TIMESTAMP(NANOS) column.
+        import datetime
+
+        sentinel_ts = max_ts + datetime.timedelta(days=days)
+        sent = spark.createDataFrame(
+            [
+                (10**12 + days, sentinel_ts, -1, "purchase", 0.0, "{}"),
+                (
+                    10**12 + days + 100,
+                    sentinel_ts - datetime.timedelta(days=2),
+                    -1,
+                    "click",
+                    0.0,
+                    "{}",
+                ),
+            ],
+            schema=(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            ),
+        )
+        tmp = scratch_dir(f"sojoin_sent_{tag}", fresh=True)
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        shutil.copy(
+            f"{tmp}/{part}", f"{stream_dir}/events_sentinel_{tag}.parquet"
+        )
+
+    # two sentinel deliveries: run 2's batch still evicts with the
+    # watermark as of run 1's END (this build's availableNow does not
+    # run a trailing no-data batch — same quirk family as its ignored
+    # maxFilesPerTrigger, ROUND_NOTES), so a second sentinel makes
+    # run 3 evict with the watermark advanced past sentinel 1
+    append_sentinel("a", 30)
+    run()
+    append_sentinel("b", 60)
+    run()
+    spark.catalog.refreshByPath(out_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("purchase_id") < 10**12)  # drop sentinel rows
+        .orderBy("purchase_id", "click_id")
+    )

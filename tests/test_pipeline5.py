@@ -175,6 +175,65 @@ def test_window_count_distinct_final_equals_group_distinct(spark):
     assert finals == want
 
 
+def test_pca_matches_numpy_power_iteration(spark):
+    """The unrolled dataflow PCA must agree with the identical
+    2-step power iteration done in numpy (same x0, same centering
+    identity) to ~1e-6 per component — pinning the algebra, not just
+    cross-engine determinism."""
+    np = pytest.importorskip("numpy")
+    rows = _rows(spark, "embedding_pca_power_iteration")
+    got = np.array([r.component for r in sorted(rows, key=lambda r: r.dim)])
+    eig = rows[0].eigenvalue
+    V = np.array(
+        [
+            r.v
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect()
+        ]
+    )
+    n = len(V)
+    m = V.mean(axis=0)
+    x = np.full(64, 0.125)
+    for _ in range(2):
+        d = V @ x
+        w = (V.T @ d - m * d.sum()) / n
+        x = w / np.sqrt(w @ w)
+    assert np.abs(got - x).max() < 1e-5
+    lam = np.sqrt(w @ w)
+    assert abs(eig - lam) / lam < 1e-5
+    assert abs(got @ got - 1.0) < 1e-9  # unit norm
+
+
+def test_ohlc_bars_invariants(spark):
+    """(user_id, ts) must stay unique in events (min_by keys on ts
+    alone — same invariant join_pit_features pins), and every bar
+    satisfies low <= open, close <= high."""
+    from s3spark.io import table
+
+    ev = table(spark, SF, "events")
+    dups = (
+        ev.groupBy("user_id", "ts").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0, "fixture lost (user_id, ts) uniqueness"
+    for r in _rows(spark, "timeseries_ohlc_bars"):
+        assert r.low <= r.high
+        assert r.low <= round(r.open, 6) + 1e-9 and round(r.open, 6) <= r.high + 1e-9
+        assert r.low <= round(r.close, 6) + 1e-9 and round(r.close, 6) <= r.high + 1e-9
+        assert r.n_events >= 1
+
+
+def test_stream_outer_join_emits_null_rows(spark):
+    """The watermark-flushed left-outer stream join must contain BOTH
+    matched pairs and null-click purchases (if it only ever emitted
+    matches, the state-eviction path under test silently vanished),
+    and no sentinel ids may leak into the result."""
+    rows = _rows(spark, "stream_outer_join_watermark")
+    assert any(r.click_id is None for r in rows)
+    assert any(r.click_id is not None for r in rows)
+    assert all(r.purchase_id < 10**12 for r in rows)
+
+
 def test_new_keys_have_full_oracles():
     for k in (
         "sql_recursive_cte",
@@ -184,5 +243,9 @@ def test_new_keys_have_full_oracles():
         "graph_triangle_count",
         "doc_segment_dedup",
         "doc_boilerplate_strip",
+        "embedding_pca_power_iteration",
+        "timeseries_ohlc_bars",
+        "scalar_ip_cidr",
+        "stream_outer_join_watermark",
     ):
         assert REGISTRY[k].oracle, f"{k} missing oracle"

@@ -320,6 +320,7 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "agg_winsorize",
         "bpe_train_unrolled",  # 1-row argmax-pair + 1-row corpus total
         "dedup_semdedup",  # 1-row broadcast centroid array (ivf pattern)
+        "embedding_pca_power_iteration",  # 1-row direction/norm broadcasts
         "dedup_embedding_cosine",
         "join_bloom_prune",  # 1-row 4 KB bloom-bitmap broadcast
         "funnel_stages",
