@@ -185,10 +185,17 @@ def embedding_pca_power_iteration(
         F.array_repeat(F.lit(_X0), _DIM).alias("x")
     )
     w2 = step(normalize(step(x0)))
-    w2a = w2.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("i", "w")))
-        .getField("w")
-        .alias("warr")
+    w2a = (
+        w2.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "w")))
+            .getField("w")
+            .alias("warr")
+        )
+        .select(
+            "warr",
+            F.sqrt(_fold_dot(F.col("warr"), F.col("warr"))).alias("nrm"),
+        )
     )
     dims = spark.range(1, _DIM + 1).select(F.col("id").alias("dim"))
     return (
@@ -197,11 +204,9 @@ def embedding_pca_power_iteration(
             "dim",
             (
                 F.element_at("warr", F.col("dim").cast("int"))
-                / F.sqrt(_fold_dot(F.col("warr"), F.col("warr")))
+                / F.col("nrm")
             ).alias("component"),
-            F.sqrt(_fold_dot(F.col("warr"), F.col("warr"))).alias(
-                "eigenvalue"
-            ),
+            F.col("nrm").alias("eigenvalue"),
         )
         .orderBy("dim")
     )

@@ -205,3 +205,131 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_tolerance
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_SQL = """
+SELECT event_id, user_id, ts,
+       CASE WHEN last_purchase_ts >= ts - INTERVAL 30 MINUTE
+            THEN last_purchase_ts END AS fresh_purchase_ts,
+       (last_purchase_ts IS NOT NULL
+        AND last_purchase_ts < ts - INTERVAL 30 MINUTE) AS is_stale
+FROM (
+  SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts
+  FROM events e
+  ASOF LEFT JOIN (
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+  ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+) a
+ORDER BY event_id
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_SQL)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest same-user
+    purchase at-or-before each event, but only if it is at most 30
+    minutes old — older matches become NULL and are flagged stale.
+    This is the feature-store serving rule (a feature older than its
+    freshness SLA must not silently join; cf. pandas merge_asof's
+    ``tolerance=``) on top of ``join_asof``'s union-then-window
+    emulation.
+
+    Scale shape identical to join_asof: ONE shuffle on user_id, one
+    running-value window, and the tolerance is a row-local CASE after
+    the window — zero extra distributed work for the SLA check."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    probes = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(1).alias("kind"),
+    )
+    refs = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("ref_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = probes.unionByName(refs).withColumn(
+        "last_purchase_ts", F.last("ref_ts", ignorenulls=True).over(w)
+    )
+    fresh = F.col("last_purchase_ts") >= F.col("ts") - F.expr(
+        "INTERVAL 30 MINUTES"
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(fresh, F.col("last_purchase_ts")).alias(
+                "fresh_purchase_ts"
+            ),
+            (
+                F.col("last_purchase_ts").isNotNull() & ~fresh
+            ).alias("is_stale"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# sql_parameterized
+# --------------------------------------------------------------------------
+
+_PARAM_SQL_DUCK = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_SQL_DUCK)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries ``:status`` / ``:floor`` placeholders and values bind
+    server-side via ``spark.sql(query, args=...)`` — the injection-safe
+    API a SQL-facing engine must expose (values are typed literals in
+    the plan, never string-spliced, so Catalyst folds and pushes them
+    down exactly like hand-written constants).
+
+    Plan shape: identical to the constant query — both predicates
+    reach the parquet scan as PushedFilters; one partial+final agg
+    exchange."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "s3spark_param_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS total_price
+FROM s3spark_param_orders
+WHERE o_orderstatus = :status AND o_totalprice >= :floor
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        args={"status": "F", "floor": 50000.0},
+    )

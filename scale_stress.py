@@ -38,7 +38,13 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # KMV distinct (unchanged distinct set, 10x scan), CMS
              # (bounded d*w grid, 10x counts), manifest layout+prune
              "agg_kmv_distinct", "agg_countmin_sketch",
-             "scan_manifest_prune"]
+             "scan_manifest_prune",
+             # round-4c: orders-driven KMV overlap (sketch algebra is
+             # constant-size; only the scan grows), lineitem-driven
+             # degree-oriented triangles (10x replicated orders repeat
+             # the same part pairs -> edge set saturates; wedge work
+             # bounded by orientation)
+             "agg_kmv_intersection", "graph_triangle_count"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -54,7 +60,13 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # (embeddings grow only 4x sf0.01->sf0.1, and semdedup's
             # cluster count scales with n — expect ~4x pair work)
             "dedup_semdedup", "bpe_train_unrolled",
-            "quality_classifier_hashed", "cdc_apply_tombstones"]
+            "quality_classifier_hashed", "cdc_apply_tombstones",
+            # round-4c: docs segment passes (2 shuffles each),
+            # events-driven running-distinct window and OHLC bars,
+            # embeddings-driven PCA (4x vectors sf0.01->sf0.1)
+            "doc_segment_dedup", "doc_boilerplate_strip",
+            "window_count_distinct", "timeseries_ohlc_bars",
+            "embedding_pca_power_iteration"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -223,6 +223,26 @@ def test_ohlc_bars_invariants(spark):
         assert r.n_events >= 1
 
 
+def test_asof_tolerance_is_join_asof_with_sla(spark):
+    """join_asof_tolerance must agree with join_asof everywhere: the
+    fresh timestamp equals the as-of match when within 30 min, is
+    NULL otherwise, and is_stale marks exactly the aged-out rows."""
+    import datetime
+
+    asof = {r.event_id: r.last_purchase_ts for r in _rows(spark, "join_asof")}
+    tol = _rows(spark, "join_asof_tolerance")
+    assert len(tol) == len(asof)
+    lim = datetime.timedelta(minutes=30)
+    for r in tol:
+        base = asof[r.event_id]
+        if base is None:
+            assert r.fresh_purchase_ts is None and not r.is_stale
+        elif r.ts - base <= lim:
+            assert r.fresh_purchase_ts == base and not r.is_stale
+        else:
+            assert r.fresh_purchase_ts is None and r.is_stale
+
+
 def test_stream_outer_join_emits_null_rows(spark):
     """The watermark-flushed left-outer stream join must contain BOTH
     matched pairs and null-click purchases (if it only ever emitted
@@ -247,5 +267,7 @@ def test_new_keys_have_full_oracles():
         "timeseries_ohlc_bars",
         "scalar_ip_cidr",
         "stream_outer_join_watermark",
+        "join_asof_tolerance",
+        "sql_parameterized",
     ):
         assert REGISTRY[k].oracle, f"{k} missing oracle"

@@ -302,6 +302,40 @@ def test_curation_pipeline_single_big_side_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 7
 
 
+def test_recursive_cte_runs_as_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must execute as Spark 4's UnionLoop (anchor +
+    per-level distributed join), not some collected driver loop."""
+    plan = plan_of(spark, sf_dir, "sql_recursive_cte")
+    assert "UnionLoop" in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must decorrelate
+    into the WindowGroupLimit plan (same as topk_per_group) — a BNLJ
+    here would mean per-outer-row re-execution."""
+    plan = plan_of(spark, sf_dir, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_is_two_shuffles(spark, sf_dir):
+    """doc_segment_dedup: one exchange on segment text (window), one
+    back on doc_id — corpus-scale dedup must not add more."""
+    plan = plan_of(spark, sf_dir, "doc_segment_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Window [") <= 1 or plan.count("Window") >= 1
+
+
+def test_triangle_count_joins_are_equi(spark, sf_dir):
+    """After the oriented-edge materialization, the wedge-closing
+    self-joins must be hash/merge equi-joins (the only BNLJ is the
+    declared 1-row count cross join)."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_no_undeclared_nested_loop_joins(spark, sf_dir):
     """Registry-wide BNLJ gate: a BroadcastNestedLoopJoin is O(n*m)
     work and only tolerable when the build side is CONSTANT-size.
