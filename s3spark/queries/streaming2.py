@@ -228,8 +228,8 @@ def sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_outer_join_watermark",
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id
-FROM events p
-LEFT JOIN events c
+FROM (SELECT * FROM events WHERE user_id < 100) p
+LEFT JOIN (SELECT * FROM events WHERE user_id < 100) c
   ON c.user_id = p.user_id
  AND c.event_type = 'click'
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
@@ -253,10 +253,12 @@ def stream_outer_join_watermark(
     the key streams from a scratch copy of the fixture and runs
     TWICE against one checkpoint (the multi-batch protocol from
     test_watermark_drops_late_data): run 1 processes the corpus; a
-    far-future sentinel event is then appended and run 2 advances the
-    watermark past every purchase, flushing the remaining null rows.
-    Union of the two runs' emissions == the batch LEFT JOIN, giving
-    outer-join state eviction a full value oracle.
+    far-future sentinel purchase+click PAIR is then appended and
+    run 2 advances the watermark past every purchase (followed by
+    the no-data flush batch within the same run), emitting the
+    remaining null rows.  The accumulated file-sink output == the
+    batch LEFT JOIN, giving outer-join state eviction a full value
+    oracle.
 
     Scale shape: state is bounded by (watermark + 1 h interval) per
     the join condition — the difference between a left-outer stream
@@ -278,7 +280,15 @@ def stream_outer_join_watermark(
     out_dir = scratch_dir("sojoin_out", fresh=True)
 
     def joined_stream() -> DataFrame:
-        ev = events_stream(spark, stream_dir)
+        # user_id < 100 bounds the verified slice (the ohlc-bars
+        # precedent: three real streaming runs over the full table
+        # were the single most expensive bench key; the eviction
+        # mechanics are identical on the slice).  The -1 sentinel
+        # passes the filter by construction — it MUST keep flowing
+        # to both watermark nodes.
+        ev = events_stream(spark, stream_dir).filter(
+            F.col("user_id") < 100
+        )
         purchases = (
             ev.filter(F.col("event_type") == "purchase")
             .select(
@@ -368,14 +378,7 @@ def stream_outer_join_watermark(
             f"{tmp}/{part}", f"{stream_dir}/events_sentinel_{tag}.parquet"
         )
 
-    # two sentinel deliveries: run 2's batch still evicts with the
-    # watermark as of run 1's END (this build's availableNow does not
-    # run a trailing no-data batch — same quirk family as its ignored
-    # maxFilesPerTrigger, ROUND_NOTES), so a second sentinel makes
-    # run 3 evict with the watermark advanced past sentinel 1
     append_sentinel("a", 30)
-    run()
-    append_sentinel("b", 60)
     run()
     spark.catalog.refreshByPath(out_dir)
     return (
