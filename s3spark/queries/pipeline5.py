@@ -467,3 +467,181 @@ def doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_kmv_per_group
+# --------------------------------------------------------------------------
+
+_KG_K = 64
+_KG_M = 1 << 48
+
+_KG_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         {_sql_md5_long('CAST(o_custkey AS VARCHAR)', 12)} AS hv
+  FROM orders
+),
+r AS (
+  SELECT grp, hv,
+         row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+  FROM h
+),
+s AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(hv) AS kth_hash
+  FROM r WHERE rk <= {_KG_K} GROUP BY grp
+),
+t AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+  FROM orders GROUP BY grp
+)
+SELECT s.grp,
+       s.k_used,
+       s.kth_hash,
+       CASE WHEN s.k_used < {_KG_K} THEN s.k_used
+            ELSE ({_KG_K - 1} * {_KG_M}) // s.kth_hash END AS est_distinct,
+       t.true_distinct
+FROM s JOIN t ON s.grp = t.grp
+ORDER BY s.grp
+"""
+
+
+@register("agg_kmv_per_group", oracle=_KG_SQL)
+def agg_kmv_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct sketches (K=64 per order priority):
+    the grouped form of agg_kmv_distinct — every group keeps only its
+    K smallest portable hashes, and (K−1)·M / h_(K) estimates that
+    group's distinct buyers.
+
+    Scale shape: this is how per-segment uniques roll up at 100 TB —
+    each partition contributes per-group partial sketches (the
+    rank-window is per-group bounded state), group sketches merge by
+    re-taking K smallest, and the final answer is |groups|·K rows no
+    matter the corpus.  Integer md5 arithmetic end-to-end keeps the
+    approximation itself oracle-exact; error ~1/sqrt(64) = 12.5%
+    (pinned in tests)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    h = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        _md5_long(F.col("o_custkey").cast("string"), 12).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    s = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KG_K)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.max("hv").alias("kth_hash"),
+        )
+    )
+    t = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return (
+        s.join(t, "grp")
+        .select(
+            "grp",
+            "k_used",
+            "kth_hash",
+            F.when(F.col("k_used") < _KG_K, F.col("k_used"))
+            .otherwise(
+                F.expr(f"{_KG_K - 1}L * {_KG_M}L div kth_hash")
+            )
+            .alias("est_distinct"),
+            "true_distinct",
+        )
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# join_scd2_point_in_time
+# --------------------------------------------------------------------------
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT user_id,
+         event_type AS state,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events
+  WHERE event_type IN ('signup', 'click')
+),
+probes AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       d.state AS state_at_purchase,
+       d.valid_from AS state_since
+FROM probes p
+LEFT JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.ts
+ AND (d.valid_to IS NULL OR d.valid_to > p.ts)
+ORDER BY p.event_id
+"""
+
+
+@register("join_scd2_point_in_time", oracle=_PIT_SQL)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup: each purchase joined to
+    the signup/click state version VALID AT its timestamp — the
+    warehouse pattern behind every as-was report (and the leakage-
+    free alternative to joining current state onto history).
+
+    Scale shape: NOT executed as the interval join the SQL spells
+    (valid_from <= ts < valid_to would be a range join); the validity
+    tiling of an SCD2 dimension is exactly 'latest version at or
+    before ts', so the engine reuses join_asof's union-then-window
+    emulation — ONE shuffle on user_id, one running-value window,
+    O(n log n) at any scale.  Equivalence of the two spellings is the
+    oracle check itself.  Version rows order (ts, kind) with dim rows
+    first so a state change at the probe's exact timestamp is already
+    visible (valid_from <= ts, inclusive), matching the SQL."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type").isin("signup", "click")).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("event_type").alias("ref_state"),
+        F.col("ts").alias("ref_ts"),
+        F.lit(0).alias("kind"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("ref_state"),
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        probes.unionByName(dim)
+        .withColumn(
+            "state_at_purchase",
+            F.last("ref_state", ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "state_since", F.last("ref_ts", ignorenulls=True).over(w)
+        )
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id", "ts", "state_at_purchase", "state_since"
+        )
+        .orderBy("event_id")
+    )

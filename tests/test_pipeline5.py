@@ -254,6 +254,49 @@ def test_stream_outer_join_emits_null_rows(spark):
     assert all(r.purchase_id < 10**12 for r in rows)
 
 
+def test_kmv_per_group_error_bound(spark):
+    """Every group's KMV estimate must land within 45% relative of
+    its true distinct count at K=64 (expected rel err ~12.5%; the
+    slack covers per-group hash luck), and k_used is exactly K when
+    the group has >= K distinct members."""
+    rows = _rows(spark, "agg_kmv_per_group")
+    assert rows, "no groups"
+    for r in rows:
+        if r.true_distinct >= 64:
+            assert r.k_used == 64
+            rel = abs(r.est_distinct - r.true_distinct) / r.true_distinct
+            assert rel <= 0.45, f"{r.grp}: rel err {rel:.3f}"
+        else:
+            assert r.est_distinct == r.true_distinct
+
+
+def test_scd2_pit_matches_asof_semantics(spark):
+    """The PIT lookup must return, for every purchase, the LATEST
+    signup/click at-or-before it (checked independently via a
+    groupBy max over the raw events), and state_since must be the
+    matched version's own timestamp."""
+    from s3spark.io import table
+
+    got = {r.event_id: r for r in _rows(spark, "join_scd2_point_in_time")}
+    ev = table(spark, SF, "events").collect()
+    by_user = {}
+    for r in ev:
+        if r.event_type in ("signup", "click"):
+            by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cands = [
+            (ts, st) for ts, st in by_user.get(r.user_id, []) if ts <= r.ts
+        ]
+        want = max(cands) if cands else None
+        g = got[r.event_id]
+        if want is None:
+            assert g.state_at_purchase is None and g.state_since is None
+        else:
+            assert (g.state_since, g.state_at_purchase) == want
+
+
 def test_new_keys_have_full_oracles():
     for k in (
         "sql_recursive_cte",
@@ -269,5 +312,7 @@ def test_new_keys_have_full_oracles():
         "stream_outer_join_watermark",
         "join_asof_tolerance",
         "sql_parameterized",
+        "agg_kmv_per_group",
+        "join_scd2_point_in_time",
     ):
         assert REGISTRY[k].oracle, f"{k} missing oracle"
