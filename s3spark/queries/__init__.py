@@ -44,6 +44,7 @@ from s3spark.queries import (  # noqa: F401
     curation3,
     etl,
     formats,
+    matching,
     mlprep,
     mlprep2,
     multimodal,
@@ -53,6 +54,7 @@ from s3spark.queries import (  # noqa: F401
     planner2,
     quality,
     relational5,
+    relational6,
     robustness,
     scalars2,
     scalars3,

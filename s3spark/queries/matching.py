@@ -1,0 +1,208 @@
+"""Fuzzy matching & lexical retrieval operators.
+
+- ``join_fuzzy_edit_distance``: entity resolution by edit distance,
+  with SymSpell-style deletion-neighborhood blocking.  Candidate
+  generation is an equi-join on deletion variants — every string of
+  length L emits L+1 keys (itself plus each single-character
+  deletion), and any pair within Levenshtein distance 1 provably
+  shares at least one key (delete the edited position on whichever
+  side has it).  The verify stage runs the exact JVM
+  ``levenshtein`` only on candidates, never all pairs.  At 100 TB
+  this is the standard distributed SymSpell shape: blocking keys are
+  near-unique so the join is a skew-free hash equi-join linear in
+  |rows| x |string length|; the O(n²) all-pairs comparison exists
+  only in the DuckDB oracle (feasible at sf0.01 only).
+- ``text_bm25_rank``: Okapi BM25 scoring of every document against a
+  fixed query-term set — the lexical-retrieval half of a
+  training-data curation stack (the dense half is sim_* / ANN).
+  Corpus stats (N, avgdl) and per-term document frequencies are
+  vocabulary-sized broadcasts; the only shuffle on the big side is
+  the per-(doc, term) tf aggregation.  Per-term partial scores are
+  summed in a FIXED term order (conditional-sum pivot, one row per
+  doc-term) so the float addition order is engine-identical — the
+  same discipline the decimal-partials recipe applies to SUM.
+
+Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
+has no query surface; these extend the mandated engine surface of
+SURVEY.md §2.3 sections C (joins) and J (LLM-data ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+# --------------------------------------------------------------------------
+# join_fuzzy_edit_distance
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT a.c_custkey AS k1,
+       b.c_custkey AS k2,
+       a.c_name AS name1,
+       b.c_name AS name2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY k1, k2
+"""
+
+# i = 0 keeps the original string; i = 1..L deletes character i.
+_DELETION_VARIANTS = """
+array_distinct(transform(
+  sequence(0, length(c_name)),
+  i -> CASE WHEN i = 0 THEN c_name
+            ELSE concat(substring(c_name, 1, i - 1),
+                        substring(c_name, i + 1))
+       END))
+"""
+
+
+@register("join_fuzzy_edit_distance", oracle=_FUZZY_ORACLE)
+def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within Levenshtein distance 1, found by
+    a SymSpell deletion-neighborhood self-join instead of an all-pairs
+    scan.  Completeness: if d(s, t) <= 1 then deleting the edited
+    position (or nothing) maps both strings to a common variant, so
+    the equi-join on variants has full recall for distance <= 1; the
+    exact ``levenshtein`` filter then removes the distance-2 pairs
+    that merely share a variant.  The oracle is the brute-force O(n²)
+    definition — only the candidate GENERATION differs, so agreement
+    here certifies the blocking scheme's recall, not just the verify
+    arithmetic."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.expr(_DELETION_VARIANTS)).alias("vk"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.vk") == F.col("b.vk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            F.col("a.c_name").alias("name1"),
+            F.col("b.c_name").alias("name2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name1", "name2").cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("k1", "k2")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bm25_rank
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window", "dup"]
+_K1 = 1.2
+_B = 0.75
+
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+  WHERE word IN ('spark', 'join', 'window', 'dup')
+  GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                                  / (CAST(stats.sumdl AS DOUBLE) / stats.n)))
+         AS s
+  FROM tf
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       COUNT(*) AS n_terms,
+       round(  SUM(CASE WHEN word = 'spark'  THEN s ELSE 0 END)
+             + SUM(CASE WHEN word = 'join'   THEN s ELSE 0 END)
+             + SUM(CASE WHEN word = 'window' THEN s ELSE 0 END)
+             + SUM(CASE WHEN word = 'dup'    THEN s ELSE 0 END), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_bm25_rank", oracle=_BM25_ORACLE)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    4-term query.  Engine shape: one big-side shuffle (per-(doc, term)
+    tf); document lengths come from the same tokenization, and the
+    corpus stats / df tables are vocabulary-sized broadcasts.  The
+    per-term partial scores are combined via conditional sums in a
+    fixed literal term order — each SUM has at most one addend per
+    doc, so the final addition sequence (and therefore the float
+    result) is identical on both engines before the 6-dp round.  The
+    arithmetic expression is written with explicit parentheses in the
+    exact same association on both sides."""
+    terms = _BM25_TERMS
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
+    )
+    tf = (
+        tok.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = idf * (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1 - _B) + (F.lit(_B) * F.col("dl")) / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "word", s.alias("s"))
+    )
+    per_term = [
+        F.sum(
+            F.when(F.col("word") == t, F.col("s")).otherwise(F.lit(0.0))
+        )
+        for t in terms
+    ]
+    total = per_term[0]
+    for p in per_term[1:]:
+        total = total + p
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(total, 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )

@@ -486,3 +486,38 @@ def test_pagerank_single_scan_and_partial_sums(spark, sf_dir):
     assert plan.count("FileScan parquet") == 2  # ed in r1 + ed in r2
     assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """join_null_aware_anti: the NOT IN subquery must become a single
+    null-aware broadcast anti join (the trailing `true` flag on the
+    BroadcastHashJoin is Catalyst's isNullAwareAntiJoin marker), never
+    a cartesian/BNLJ fallback, and the CASE-wrapped probe key must not
+    block pushing the o_totalprice filter to the scan."""
+    plan = plan_of(spark, sf_dir, "join_null_aware_anti")
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThan(o_totalprice,100000.0)" in plan
+
+
+def test_islands_windows_share_one_hash_exchange(spark, sf_dir):
+    """window_islands_value_runs: both row_number windows cluster by
+    o_custkey, so HashPartitioning(custkey) must satisfy the
+    (custkey, status) clustering too — ONE hash exchange feeding two
+    sorts, not an exchange per window.  The only other exchange is
+    the final presentation orderBy."""
+    plan = plan_of(spark, sf_dir, "window_islands_value_runs")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_fuzzy_join_is_equi_on_deletion_variants(spark, sf_dir):
+    """join_fuzzy_edit_distance: candidate generation must be a hash
+    equi-join on the exploded deletion variants — no nested-loop /
+    cartesian all-pairs anywhere, and the levenshtein verify must be
+    codegen (no Python eval)."""
+    plan = plan_of(spark, sf_dir, "join_fuzzy_edit_distance")
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
