@@ -62,6 +62,7 @@ from s3spark.queries import (  # noqa: F401
     scale_ops,
     sketches,
     sources2,
+    sqlsurface,
     streaming2,
     text2,
     timeseries,
