@@ -206,3 +206,182 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental_minhash
+# --------------------------------------------------------------------------
+
+_INC_K, _INC_R, _INC_B = 12, 2, 6
+_INC_SIG_COLS = ",\n         ".join(
+    f"MIN(md5('{k}:'||shingle)) AS h{k}" for k in range(_INC_K)
+)
+
+_INC_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, source,
+         toks[i]||' '||toks[i+1]||' '||toks[i+2] AS shingle
+  FROM (SELECT doc_id, source, toks,
+               generate_subscripts(toks, 1) AS i FROM words) t
+  WHERE i + 2 <= len(toks)
+),
+sig AS (
+  SELECT doc_id, source,
+         {_INC_SIG_COLS}
+  FROM sh GROUP BY doc_id, source
+),
+bands AS (
+  SELECT doc_id, source,
+         [{", ".join(f"h{k}" for k in range(_INC_K))}] AS sig_l,
+         b,
+         sig_list[2*b + 1] || sig_list[2*b + 2] AS bsig
+  FROM (SELECT *, [{", ".join(f"h{k}" for k in range(_INC_K))}] AS sig_list
+        FROM sig) s,
+       UNNEST(range({_INC_B})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, e.doc_id AS old_id,
+         a.sig_l AS sa, e.sig_l AS se
+  FROM bands a
+  JOIN bands e ON a.b = e.b AND a.bsig = e.bsig
+  WHERE a.source = 'src0' AND e.source <> 'src0'
+),
+pairs AS (
+  SELECT new_id, old_id,
+         len(list_filter(range({_INC_K}), i -> sa[i+1] = se[i+1]))
+           / {_INC_K}.0 AS est
+  FROM cand
+),
+hits AS (
+  SELECT new_id, COUNT(*) AS n_dup_matches,
+         MIN(old_id) AS first_match,
+         round(MAX(est), 6) AS max_sim
+  FROM pairs WHERE est >= 0.5 GROUP BY new_id
+)
+SELECT w.doc_id,
+       COALESCE(hits.n_dup_matches, 0) AS n_dup_matches,
+       hits.first_match,
+       hits.max_sim,
+       CASE WHEN hits.new_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM (SELECT DISTINCT doc_id FROM words WHERE source = 'src0') w
+LEFT JOIN hits ON hits.new_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INC_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (source='src0')
+    checked against the EXISTING corpus (every other source) — the
+    production shape where yesterday's corpus is already signed and
+    only the delta pays signature + join cost.  MinHash signatures
+    (K=12, md5-portable, identical arithmetic to dedup_fuzzy_minhash)
+    are materialized once to a signature store (scratch parquet — the
+    stand-in for the persisted corpus signature table), then the
+    incoming bands equi-join the corpus bands on (band, band-sig):
+    work is O(|batch| x B) probe rows against a bucketed corpus index,
+    never a rescan of corpus text.  Per incoming doc the verdict is
+    (n matched corpus docs with signature agreement >= 0.5, first
+    match, best similarity, is_dup); unmatched docs survive with
+    n_dup_matches = 0.  Sub-3-word docs carry no trigram signature and
+    are handled by the exact-hash path (dedup_exact), as in the batch
+    keys.  FULL value oracle via the fixed-width-hex md5 min trick."""
+    from s3spark.io import scratch_dir
+
+    K, R, B = _INC_K, _INC_R, _INC_B
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    trigrams = F.expr(
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    sh = words.select(
+        "doc_id", "source", F.explode(trigrams).alias("shingle")
+    )
+    sig = sh.groupBy("doc_id", "source").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))
+            ).alias(f"h{k}")
+            for k in range(K)
+        ]
+    )
+    # the persisted signature store: computed once, read by both sides
+    store = scratch_dir("incdedup-sigs")
+    sig.write.mode("overwrite").parquet(store)
+    sig = spark.read.parquet(store)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * R + r}") for r in range(R)]
+                ).alias("bsig"),
+            )
+            for b in range(B)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        "source",
+        F.array(*[f"h{k}" for k in range(K)]).alias("sig"),
+        F.explode(band_structs).alias("bk"),
+    ).select("doc_id", "source", "bk.band", "bk.bsig", "sig")
+    inc = bands.filter(F.col("source") == "src0").alias("a")
+    ex = bands.filter(F.col("source") != "src0").alias("e")
+    cand = (
+        inc.join(
+            ex,
+            (F.col("a.band") == F.col("e.band"))
+            & (F.col("a.bsig") == F.col("e.bsig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("old_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("e.sig").alias("se"),
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sa", "se", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / K
+    )
+    hits = (
+        cand.withColumn("est", est)
+        .filter(F.col("est") >= 0.5)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_matches"),
+            F.min("old_id").alias("first_match"),
+            F.round(F.max("est"), 6).alias("max_sim"),
+        )
+    )
+    incoming = (
+        sig.filter(F.col("source") == "src0").select("doc_id").distinct()
+    )
+    return (
+        incoming.join(hits, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_matches"), F.lit(0)).alias(
+                "n_dup_matches"
+            ),
+            "first_match",
+            "max_sim",
+            F.when(F.col("new_id").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

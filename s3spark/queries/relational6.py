@@ -286,3 +286,73 @@ def timeseries_interpolate_linear(
     return nbr.select(
         "user_id", "day", F.round(interp, 6).alias("v_interp")
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# join_null_aware_anti_shuffled
+# --------------------------------------------------------------------------
+
+
+@register("join_null_aware_anti_shuffled", oracle=_NAAJ_ORACLE)
+def join_null_aware_anti_shuffled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB rewrite of ``join_null_aware_anti``: identical NOT IN
+    three-valued-logic semantics (same oracle) WITHOUT the broadcast
+    Catalyst requires for its native NAAJ.  Decomposition:
+
+    1. a 1-row aggregate over the build side counts total vs non-null
+       keys — the scalar null/empty guard;
+    2. non-null probe rows anti-join the non-null build keys as a
+       plain shuffled SortMergeJoin (hint("merge"), plan-gated) —
+       the scalable path, partitioned on the key;
+    3. the guard gates the output: any build-side NULL empties the
+       result (x NOT IN S is UNKNOWN when NULL ∈ S); NULL-probe rows
+       survive ONLY when the build side is empty (NULL NOT IN {} is
+       TRUE) — the edge the naive "filter nulls then anti join"
+       rewrite gets wrong.
+
+    The only broadcast is the 1-row guard; both real inputs stream
+    through a hash-partitioned join, so the plan survives an
+    arbitrarily large subquery side."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    probe = o.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    build = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    bstats = build.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("c_custkey").alias("n_nonnull"),
+    )
+    anti = probe.filter(F.col("ck").isNotNull()).join(
+        build.filter(F.col("c_custkey").isNotNull()).hint("merge"),
+        F.col("ck") == F.col("c_custkey"),
+        "left_anti",
+    )
+    survivors = anti.crossJoin(F.broadcast(bstats)).filter(
+        F.col("n_total") == F.col("n_nonnull")
+    )
+    null_probe_if_empty = probe.filter(F.col("ck").isNull()).crossJoin(
+        F.broadcast(bstats)
+    ).filter(F.col("n_total") == 0)
+    from s3spark.io import dsum
+
+    return (
+        survivors.unionByName(null_probe_if_empty)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

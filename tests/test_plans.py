@@ -521,3 +521,13 @@ def test_fuzzy_join_is_equi_on_deletion_variants(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_naaj_shuffled_rewrite_is_sort_merge_anti(spark, sf_dir):
+    """join_null_aware_anti_shuffled: the scalable NOT IN rewrite must
+    anti-join via a shuffled SortMergeJoin (no broadcast NAAJ — that
+    is the whole point), with the only broadcasts being the 1-row
+    null/empty guard."""
+    plan = plan_of(spark, sf_dir, "join_null_aware_anti_shuffled")
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "BuildRight, true" not in plan
