@@ -83,6 +83,10 @@ def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = variants.alias("a")
     b = variants.alias("b")
+    # dedup candidate pairs as BARE INT pairs (a pair can share several
+    # variants) — carrying the two 18-char names through this shuffle
+    # was the dominant cost at sf0.1 (~2x the row bytes); the names
+    # come back via two dim-table joins for the verify stage.
     cand = (
         a.join(
             b,
@@ -92,16 +96,21 @@ def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.c_custkey").alias("k1"),
             F.col("b.c_custkey").alias("k2"),
-            F.col("a.c_name").alias("name1"),
-            F.col("b.c_name").alias("name2"),
         )
         .distinct()
     )
+    n1 = c.select(
+        F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1")
+    )
+    n2 = c.select(
+        F.col("c_custkey").alias("k2"), F.col("c_name").alias("name2")
+    )
     return (
-        cand.withColumn(
-            "dist", F.levenshtein("name1", "name2").cast("long")
-        )
+        cand.join(F.broadcast(n1), "k1")
+        .join(F.broadcast(n2), "k2")
+        .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
         .filter(F.col("dist") <= 1)
+        .select("k1", "k2", "name1", "name2", "dist")
         .orderBy("k1", "k2")
     )
 
@@ -165,15 +174,15 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = _BM25_TERMS
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE token-level shuffle: per-(doc, word) counts; everything else
+    # derives from it — dl is a doc-level rollup (strictly smaller
+    # shuffle), tf is a free filter, df is vocabulary-sized.
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    dl = wc.groupBy("doc_id").agg(F.sum("c").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
     )
-    tf = (
-        tok.filter(F.col("word").isin(terms))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = wc.filter(F.col("word").isin(terms)).withColumnRenamed("c", "tf")
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sumdl").cast("double") / F.col("n")
     idf = F.log(

@@ -44,7 +44,11 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # degree-oriented triangles (10x replicated orders repeat
              # the same part pairs -> edge set saturates; wedge work
              # bounded by orientation)
-             "agg_kmv_intersection", "graph_triangle_count"]
+             "agg_kmv_intersection", "graph_triangle_count",
+             # round-4d: orders-driven islands RLE (one hash exchange
+             # + rangepartition) and the shuffled NOT IN rewrite (SMJ
+             # LeftAnti scales with the probe side)
+             "window_islands_value_runs", "join_null_aware_anti_shuffled"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -66,7 +70,13 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # embeddings-driven PCA (4x vectors sf0.01->sf0.1)
             "doc_segment_dedup", "doc_boilerplate_strip",
             "window_count_distinct", "timeseries_ohlc_bars",
-            "embedding_pca_power_iteration"]
+            "embedding_pca_power_iteration",
+            # round-4d: docs-driven BM25 (linear shuffles) and the
+            # incremental minhash (delta-vs-corpus band join);
+            # customer-driven SymSpell variants join (1.5k -> 15k
+            # names across the same fixture step)
+            "text_bm25_rank", "dedup_incremental_minhash",
+            "join_fuzzy_edit_distance"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -369,6 +369,9 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "text_edit_distance",
         "text_unigram_logprob",
         "timeseries_gapfill",
+        "timeseries_interpolate_linear",  # same user×day spine as gapfill
+        "text_bm25_rank",  # 1-row corpus-stats (N, avgdl) broadcast
+        "join_null_aware_anti_shuffled",  # two 1-row null/empty guards
     }
     offenders = []
     for name in sorted(REGISTRY):
