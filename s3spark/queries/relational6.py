@@ -293,6 +293,39 @@ def timeseries_interpolate_linear(
 # --------------------------------------------------------------------------
 
 
+def not_in_shuffled(
+    probe: DataFrame, build: DataFrame, probe_key: str, build_key: str
+) -> DataFrame:
+    """Rows of ``probe`` satisfying ``probe_key NOT IN (SELECT
+    build_key FROM build)`` under SQL three-valued logic, WITHOUT
+    broadcasting the build side: a 1-row total/non-null guard
+    aggregate + a shuffled LeftAnti on the non-null keys.  NULL probe
+    rows survive only when the build side is EMPTY; any build-side
+    NULL empties the whole result.  The reusable core of
+    ``join_null_aware_anti_shuffled`` — unit-tested on the edge cases
+    directly (tests/test_relational6.py)."""
+    bstats = build.agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        F.count(build_key).alias("__n_nonnull"),
+    )
+    anti = probe.filter(F.col(probe_key).isNotNull()).join(
+        build.filter(F.col(build_key).isNotNull()).hint("merge"),
+        F.col(probe_key) == F.col(build_key),
+        "left_anti",
+    )
+    survivors = anti.crossJoin(F.broadcast(bstats)).filter(
+        F.col("__n_total") == F.col("__n_nonnull")
+    )
+    null_probe_if_empty = (
+        probe.filter(F.col(probe_key).isNull())
+        .crossJoin(F.broadcast(bstats))
+        .filter(F.col("__n_total") == 0)
+    )
+    return survivors.unionByName(null_probe_if_empty).drop(
+        "__n_total", "__n_nonnull"
+    )
+
+
 @register("join_null_aware_anti_shuffled", oracle=_NAAJ_ORACLE)
 def join_null_aware_anti_shuffled(
     spark: SparkSession, sf_dir: str
@@ -330,25 +363,10 @@ def join_null_aware_anti_shuffled(
         .filter(F.col("c_acctbal") < 0)
         .select("c_custkey")
     )
-    bstats = build.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count("c_custkey").alias("n_nonnull"),
-    )
-    anti = probe.filter(F.col("ck").isNotNull()).join(
-        build.filter(F.col("c_custkey").isNotNull()).hint("merge"),
-        F.col("ck") == F.col("c_custkey"),
-        "left_anti",
-    )
-    survivors = anti.crossJoin(F.broadcast(bstats)).filter(
-        F.col("n_total") == F.col("n_nonnull")
-    )
-    null_probe_if_empty = probe.filter(F.col("ck").isNull()).crossJoin(
-        F.broadcast(bstats)
-    ).filter(F.col("n_total") == 0)
     from s3spark.io import dsum
 
     return (
-        survivors.unionByName(null_probe_if_empty)
+        not_in_shuffled(probe, build, "ck", "c_custkey")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
