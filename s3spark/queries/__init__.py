@@ -39,6 +39,7 @@ from s3spark.queries import (  # noqa: F401
     bucketing,
     coverage3,
     coverage4,
+    coverage5,
     curation,
     curation2,
     curation3,

@@ -372,6 +372,7 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "timeseries_interpolate_linear",  # same user×day spine as gapfill
         "text_bm25_rank",  # 1-row corpus-stats (N, avgdl) broadcast
         "join_null_aware_anti_shuffled",  # two 1-row null/empty guards
+        "text_bigram_logprob",  # 1-row vocabulary-size broadcast
     }
     offenders = []
     for name in sorted(REGISTRY):
@@ -534,3 +535,23 @@ def test_naaj_shuffled_rewrite_is_sort_merge_anti(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_null_aware_anti_shuffled")
     assert "SortMergeJoin" in plan and "LeftAnti" in plan
     assert "BuildRight, true" not in plan
+
+
+def test_asof_nearest_is_one_shuffle_no_nested_loop(spark, sf_dir):
+    """join_asof_nearest: both directional window passes must ride ONE
+    user_id hash exchange — the union-window emulation, never a range
+    join or BNLJ."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_final_plan_reads_only_checkpoint(spark, sf_dir):
+    """graph_bfs_distance: after three unrolled levels the final plan
+    must read the last checkpointed distance table only — no lineitem
+    rescan, no replayed edge build (the pagerank materialization
+    lesson)."""
+    plan = plan_of(spark, sf_dir, "graph_bfs_distance")
+    assert "lineitem" not in plan
+    assert "FileScan parquet" not in plan
