@@ -402,3 +402,199 @@ def mm_frame_sample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(sample_batches, schema=schema).orderBy(
         "doc_id", "frame_no"
     )
+
+
+# ------------------------------------------------------- perceptual-hash dedup
+
+# A second, TEXTURED synthetic image family for near-dup detection:
+# the ramp images above have constant gradient, which makes a
+# difference hash degenerate (every image hashes alike).  Here
+# pixel(x, y) = (7x² + 11y² + 5xy + 13·scene + noise) % 256 with
+# scene = doc_id % _PH_SCENES, so docs sharing a scene are planted
+# near-duplicates differing only in the sparse per-doc noise
+# ((3x + 5y + doc_id) % 29 == 0 adds 1).  Everything stays pure
+# integer arithmetic a DuckDB oracle replays exactly.
+_PH_DOCS = 400
+_PH_SCENES = 150
+_PH_DIM = 16
+_PH_HAM_MAX = 10
+# 9-column × 8-row sample grid (floor(i*16/9), 2j) — the dHash layout
+_PH_XS = [i * _PH_DIM // 9 for i in range(9)]
+_PH_YS = [j * _PH_DIM // 8 for j in range(8)]
+
+
+def _ph_pixel(x: int, y: int, doc_id: int) -> int:
+    # scene enters through a GRADIENT term (scene·(3x+7y)), not just a
+    # constant offset: a difference hash is brightness-invariant, so a
+    # pure +13·scene offset would make every scene hash alike (found
+    # empirically — 12.7k cross-scene "matches" before this term).
+    scene = doc_id % _PH_SCENES
+    noise = 1 if (3 * x + 5 * y + doc_id) % 29 == 0 else 0
+    return (
+        7 * x * x + 11 * y * y + 5 * x * y
+        + scene * (3 * x + 7 * y) + 13 * scene + noise
+    ) % 256
+
+
+def _encode_png_textured(doc_id: int) -> bytes:
+    """Spec-compliant PNG of the textured 16×16 family."""
+    w = h = _PH_DIM
+    raw = b"".join(
+        b"\x00" + bytes(_ph_pixel(x, y, doc_id) for x in range(w))
+        for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _dhash_bands(px: bytearray, w: int) -> list[int]:
+    """4×16-bit difference-hash bands over the 9×8 sample grid: bit
+    (i, j) = sample(i+1, j) > sample(i, j); band k packs rows 2k and
+    2k+1.  Small positive ints — no 64-bit sign traps in either
+    engine."""
+    s = [[px[y * w + x] for x in _PH_XS] for y in _PH_YS]
+    bands = []
+    for k in range(4):
+        v = 0
+        for jj, j in enumerate((2 * k, 2 * k + 1)):
+            for i in range(8):
+                if s[j][i + 1] > s[j][i]:
+                    v |= 1 << (8 * jj + i)
+        bands.append(v)
+    return bands
+
+
+def _ph_sample_sql(i: int, j: int) -> str:
+    """Oracle twin of one grid sample: pure doc_id arithmetic."""
+    x, y = _PH_XS[i], _PH_YS[j]
+    c = 7 * x * x + 11 * y * y + 5 * x * y
+    grad = 3 * x + 7 * y
+    cn = 3 * x + 5 * y
+    return (
+        f"({c} + (doc_id % {_PH_SCENES}) * {grad}"
+        f" + 13 * (doc_id % {_PH_SCENES})"
+        f" + CASE WHEN ({cn} + doc_id) % 29 = 0 THEN 1 ELSE 0 END) % 256"
+    )
+
+
+def _ph_band_sql(k: int) -> str:
+    terms = []
+    for jj, j in enumerate((2 * k, 2 * k + 1)):
+        for i in range(8):
+            bit = 8 * jj + i
+            terms.append(
+                f"CASE WHEN {_ph_sample_sql(i + 1, j)}"
+                f" > {_ph_sample_sql(i, j)}"
+                f" THEN {1 << bit} ELSE 0 END"
+            )
+    return " + ".join(terms)
+
+
+_PHASH_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {", ".join(f"({_ph_band_sql(k)}) AS b{k}" for k in range(4))}
+  FROM documents WHERE doc_id < {_PH_DOCS}
+),
+bands AS (
+  SELECT doc_id, b0, b1, b2, b3, k,
+         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM sig, UNNEST(range(4)) AS u(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+            + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+          AS BIGINT) AS hamming
+  FROM cand
+) v
+WHERE hamming <= {_PH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("mm_image_phash_dedup", oracle=_PHASH_ORACLE)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end: REAL PNG payloads →
+    decode kernel (chunk walk, CRC, inflate, de-filter) → 64-bit
+    difference hash over a 9×8 sample grid → 4×16-bit LSH bands →
+    band-bucket equi self-join → Hamming verify (≤ {_PH_HAM_MAX}).
+    Planted same-scene pairs differ only in sparse noise, so they
+    collide on intact bands; unrelated scenes collide on a 16-bit
+    band with p ≈ 2⁻¹⁶.  Candidate generation is banding — the
+    ORACLE replays the same bands arithmetically (the pixel family is
+    a pure integer function), so the recall property of the banding
+    scheme itself is value-verified, exactly like the MinHash keys.
+    The Python stage ends at the per-image signature (Arrow-batched,
+    embarrassingly parallel); pairing is JVM band-join + codegen
+    bit_count — at 100 TB the signature store persists and this
+    becomes the incremental path of dedup_incremental_minhash."""
+    b = _synth_media(spark, sf_dir, _encode_png_textured, _PH_DOCS)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _depth, _ctype, px = _decode_png(bytes(payload))
+                b0, b1, b2, b3 = _dhash_bands(px, w)
+                rows.append(
+                    {"doc_id": doc_id, "b0": b0, "b1": b1,
+                     "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(rows)
+
+    sig = b.mapInPandas(
+        hash_batches, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"), F.col(f"b{k}").alias("bv")
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(band_structs).alias("bk"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bk.k", "bk.bv")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.k") == F.col("c.k"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"c.b{k}").alias(f"c{k}") for k in range(4)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
+        " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _PH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -151,3 +151,24 @@ def test_resize_samples_expected_pixels(spark, sf_dir):
         ]
         assert r.thumb_sum == sum(thumb)
         assert r.center_px == thumb[4 * 8 + 4]
+
+
+def test_phash_dedup_finds_exactly_the_planted_scene_pairs(spark, sf_dir):
+    """mm_image_phash_dedup: the textured family plants near-dups as
+    same-scene doc pairs (scene = doc_id % 150, sparse per-doc noise).
+    The banded dHash must recover EVERY planted pair (recall 1.0 —
+    noise flips at most a couple of bits, so at least one 16-bit band
+    survives intact) with ZERO cross-scene false positives (scenes
+    differ by a per-scene gradient, ~half the 64 bits flip)."""
+    from s3spark.queries.multimodal import _PH_DOCS, _PH_SCENES
+
+    rows = REGISTRY["mm_image_phash_dedup"].fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    planted = {
+        (a, b)
+        for a in range(_PH_DOCS)
+        for b in range(a + 1, _PH_DOCS)
+        if a % _PH_SCENES == b % _PH_SCENES
+    }
+    assert got == planted
+    assert all(r.hamming <= 2 for r in rows)
