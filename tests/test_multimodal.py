@@ -172,3 +172,23 @@ def test_phash_dedup_finds_exactly_the_planted_scene_pairs(spark, sf_dir):
     }
     assert got == planted
     assert all(r.hamming <= 2 for r in rows)
+
+
+def test_audio_fingerprint_recovers_every_planted_pair(spark, sf_dir):
+    """mm_audio_fingerprint_dedup: r=8 banding must recover EVERY
+    same-scene planted pair (recall 1.0 — the sparse noise leaves at
+    least one 8-bit band intact); the few cross-scene survivors are
+    honest sub-threshold Hamming near-collisions, bounded small."""
+    from s3spark.queries.multimodal import _AF_DOCS, _AF_SCENES
+
+    rows = REGISTRY["mm_audio_fingerprint_dedup"].fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    planted = {
+        (a, b)
+        for a in range(_AF_DOCS)
+        for b in range(a + 1, _AF_DOCS)
+        if a % _AF_SCENES == b % _AF_SCENES
+    }
+    assert planted <= got, "missed planted near-dup pairs"
+    extras = got - planted
+    assert len(extras) <= 10, f"too many cross-scene survivors: {extras}"

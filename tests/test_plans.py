@@ -65,6 +65,7 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "mm_image_resize",
         "mm_frame_sample_wav",
         "mm_image_phash_dedup",
+        "mm_audio_fingerprint_dedup",
     }
     offenders = []
     for name in sorted(REGISTRY):
