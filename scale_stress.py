@@ -48,7 +48,10 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-4d: orders-driven islands RLE (one hash exchange
              # + rangepartition) and the shuffled NOT IN rewrite (SMJ
              # LeftAnti scales with the probe side)
-             "window_islands_value_runs", "join_null_aware_anti_shuffled"]
+             "window_islands_value_runs", "join_null_aware_anti_shuffled",
+             # round-4e: lineitem-driven BFS (frontier joins over the
+             # checkpointed edge table)
+             "graph_bfs_distance"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -76,7 +79,10 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # customer-driven SymSpell variants join (1.5k -> 15k
             # names across the same fixture step)
             "text_bm25_rank", "dedup_incremental_minhash",
-            "join_fuzzy_edit_distance"]
+            "join_fuzzy_edit_distance",
+            # round-4e: docs-driven bigram LM; events-driven
+            # bidirectional as-of (10x events sf0.01->sf0.1)
+            "text_bigram_logprob", "join_asof_nearest"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
