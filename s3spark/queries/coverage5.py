@@ -324,3 +324,110 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# timeseries_downsample_lttb
+# --------------------------------------------------------------------------
+
+_LTTB_ORACLE = """
+WITH pts AS (
+  SELECT user_id, ts, value, date_trunc('hour', ts) AS bucket,
+         epoch_us(ts) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT user_id, bucket,
+         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+           AS ybar
+  FROM pts GROUP BY user_id, bucket
+),
+bb AS (
+  SELECT user_id, bucket, xbar, ybar,
+         lag(xbar)  OVER w AS px, lag(ybar)  OVER w AS py,
+         lead(xbar) OVER w AS nx, lead(ybar) OVER w AS ny
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+),
+scored AS (
+  SELECT p.user_id, p.bucket, p.ts, p.value,
+         CASE
+           WHEN bb.px IS NULL THEN CAST(p.x AS DOUBLE)
+           WHEN bb.nx IS NULL THEN -CAST(p.x AS DOUBLE)
+           ELSE -abs((bb.px - bb.nx) * (p.value - bb.py)
+                     - (bb.px - p.x) * (bb.ny - bb.py))
+         END AS key1,
+         p.x AS key2
+  FROM pts p JOIN bb ON p.user_id = bb.user_id AND p.bucket = bb.bucket
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                               ORDER BY key1, key2) AS rn
+  FROM scored
+)
+SELECT user_id, bucket, ts, value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, bucket
+"""
+
+
+@register("timeseries_downsample_lttb", oracle=_LTTB_ORACLE)
+def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    the bucket-average parallel variant: one representative point per
+    (user, hour), chosen to maximize the triangle area against the
+    NEIGHBOR buckets' average points — the downsample that preserves
+    visual extremes, unlike avg/first.  Using neighbor AVERAGES
+    (classic LTTB uses the previously SELECTED point) removes the
+    sequential dependency, so the whole op is two window passes over
+    one user shuffle — embarrassingly parallel at 100 TB.  Edge
+    buckets keep the series endpoints (first/last point).  Ties and
+    edge cases fold into ONE deterministic sort key (area is never
+    output, only used for the argmax, and both engines compute the
+    identical double expression), so the selection is value-stable."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pts = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.unix_micros("ts").alias("x"),
+    )
+    b = pts.groupBy("user_id", "bucket").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ybar"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bucket")
+    bb = b.select(
+        "user_id",
+        "bucket",
+        F.lag("xbar").over(wb).alias("px"),
+        F.lag("ybar").over(wb).alias("py"),
+        F.lead("xbar").over(wb).alias("nx"),
+        F.lead("ybar").over(wb).alias("ny"),
+    )
+    joined = pts.join(bb, ["user_id", "bucket"])
+    area = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("value") - F.col("py"))
+        - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+    )
+    key1 = (
+        F.when(F.col("px").isNull(), F.col("x").cast("double"))
+        .when(F.col("nx").isNull(), -F.col("x").cast("double"))
+        .otherwise(-area)
+    )
+    wr = Window.partitionBy("user_id", "bucket").orderBy(
+        key1.asc(), F.col("x").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", "ts", "value")
+        .orderBy("user_id", "bucket")
+    )
