@@ -338,7 +338,7 @@ WITH pts AS (
 ),
 b AS (
   SELECT user_id, bucket,
-         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*) AS xbar,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
            AS ybar
   FROM pts GROUP BY user_id, bucket
@@ -363,7 +363,7 @@ scored AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, bucket
-                               ORDER BY key1, key2) AS rn
+                               ORDER BY key1, key2, value) AS rn
   FROM scored
 )
 SELECT user_id, bucket, ts, value
@@ -396,8 +396,14 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket"),
         F.unix_micros("ts").alias("x"),
     )
+    # x sums in decimal: a dense bucket's sum of epoch-µs longs can
+    # exceed 2^63 and Spark's non-ANSI long SUM would wrap silently
+    # while the oracle's 128-bit SUM stays exact (review finding)
     b = pts.groupBy("user_id", "bucket").agg(
-        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (
+            F.sum(F.col("x").cast("decimal(25,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xbar"),
         (
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
             / F.count(F.lit(1))
@@ -422,8 +428,10 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("nx").isNull(), -F.col("x").cast("double"))
         .otherwise(-area)
     )
+    # value as the final tie-break: edge-bucket keys are ts-derived,
+    # so same-µs points need it for an engine-stable pick
     wr = Window.partitionBy("user_id", "bucket").orderBy(
-        key1.asc(), F.col("x").asc()
+        key1.asc(), F.col("x").asc(), F.col("value").asc()
     )
     return (
         joined.withColumn("rn", F.row_number().over(wr))

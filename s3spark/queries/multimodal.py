@@ -495,6 +495,52 @@ def _ph_band_sql(k: int) -> str:
     return " + ".join(terms)
 
 
+def _band_self_join_hamming(
+    sig: DataFrame, n_bands: int, ham_max: int
+) -> DataFrame:
+    """Shared LSH scaffolding for the perceptual-hash dedup keys:
+    explode per-item band values (columns b0..b{n-1}), self-join on
+    (band index, band value) with doc_id ordering, dedup candidate
+    pairs, and verify with a codegen bit_count Hamming distance over
+    all bands.  Returns (doc_a, doc_b, hamming) with hamming <=
+    ham_max."""
+    bcols = [f"b{k}" for k in range(n_bands)]
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("bv"))
+            for k in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", *bcols, F.explode(band_structs).alias("bk")
+    ).select("doc_id", *bcols, "bk.k", "bk.bv")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.k") == F.col("c.k"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(n_bands)],
+            *[F.col(f"c.b{k}").alias(f"c{k}") for k in range(n_bands)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr(
+        " + ".join(f"bit_count(a{k} ^ c{k})" for k in range(n_bands))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= ham_max)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _PHASH_ORACLE = f"""
 WITH sig AS (
   SELECT doc_id,
@@ -560,44 +606,7 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = b.mapInPandas(
         hash_batches, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"), F.col(f"b{k}").alias("bv")
-            )
-            for k in range(4)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.explode(band_structs).alias("bk"),
-    ).select("doc_id", "b0", "b1", "b2", "b3", "bk.k", "bk.bv")
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.k") == F.col("c.k"))
-            & (F.col("a.bv") == F.col("c.bv"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(4)],
-            *[F.col(f"c.b{k}").alias(f"c{k}") for k in range(4)],
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.expr(
-        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
-        " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _PH_HAM_MAX)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _band_self_join_hamming(sig, 4, _PH_HAM_MAX)
 
 
 # --------------------------------------------------- audio fingerprint dedup
@@ -753,37 +762,4 @@ def mm_audio_fingerprint_dedup(
         fp_batches,
         schema="doc_id long, " + ", ".join(f"{c} int" for c in bcols),
     )
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("bv"))
-            for k in range(_AF_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", *bcols, F.explode(band_structs).alias("bk")
-    ).select("doc_id", *bcols, "bk.k", "bk.bv")
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.k") == F.col("c.k"))
-            & (F.col("a.bv") == F.col("c.bv"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            *[F.col(f"a.b{k}").alias(f"a{k}") for k in range(_AF_BANDS)],
-            *[F.col(f"c.b{k}").alias(f"c{k}") for k in range(_AF_BANDS)],
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.expr(
-        " + ".join(f"bit_count(a{k} ^ c{k})" for k in range(_AF_BANDS))
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _AF_HAM_MAX)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _band_self_join_hamming(sig, _AF_BANDS, _AF_HAM_MAX)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import table
+from s3spark.io import dsum, table
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -243,11 +243,7 @@ def timeseries_interpolate_linear(
     daily = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("v")
-        )
+        .agg(dsum("value").alias("v"))
     )
     joined = spine.join(daily, ["user_id", "day"], "left")
     w_back = (
@@ -308,10 +304,19 @@ def not_in_shuffled(
         F.count(F.lit(1)).alias("__n_total"),
         F.count(build_key).alias("__n_nonnull"),
     )
-    anti = probe.filter(F.col(probe_key).isNotNull()).join(
-        build.filter(F.col(build_key).isNotNull()).hint("merge"),
-        F.col(probe_key) == F.col(build_key),
-        "left_anti",
+    # alias-qualified join condition so probe and build may share the
+    # key column name (review finding: bare F.col == F.col is ambiguous
+    # for same-named keys, the natural NOT IN shape)
+    anti = (
+        probe.alias("__nis_p")
+        .filter(F.col(probe_key).isNotNull())
+        .join(
+            build.alias("__nis_b")
+            .filter(F.col(build_key).isNotNull())
+            .hint("merge"),
+            F.col(f"__nis_p.{probe_key}") == F.col(f"__nis_b.{build_key}"),
+            "left_anti",
+        )
     )
     survivors = anti.crossJoin(F.broadcast(bstats)).filter(
         F.col("__n_total") == F.col("__n_nonnull")
@@ -363,8 +368,6 @@ def join_null_aware_anti_shuffled(
         .filter(F.col("c_acctbal") < 0)
         .select("c_custkey")
     )
-    from s3spark.io import dsum
-
     return (
         not_in_shuffled(probe, build, "ck", "c_custkey")
         .groupBy("o_orderpriority")

@@ -6,11 +6,9 @@ fuzzy join's candidate generation relies on.
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from pyspark.sql import functions as F
 
 from s3spark.queries.relational6 import not_in_shuffled
 
@@ -107,3 +105,17 @@ def test_deletion_neighborhood_complete_for_distance_1(s, edit_seed):
     edits = _edits(s, "abc0")
     t = edits[edit_seed % len(edits)]
     assert _variants(s) & _variants(t), (s, t)
+
+
+def test_not_in_shuffled_same_key_name_on_both_sides(spark):
+    """The helper must work when probe and build share the key column
+    name — the natural NOT IN shape (alias-qualified join condition)."""
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "ck long, tag string"
+    )
+    build = spark.createDataFrame([(2,)], "ck long")
+    got = sorted(
+        r.tag
+        for r in not_in_shuffled(probe, build, "ck", "ck").collect()
+    )
+    assert got == ["a"]
