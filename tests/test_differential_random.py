@@ -1,0 +1,195 @@
+"""Random-input differential tests: the oracle suite proves every
+registry key on the FIXTURE data; these prove the core operator
+semantics (null-handling aggregation, join null keys, running windows,
+set ops with duplicates) on hypothesis-GENERATED tables, written once
+to parquet and read by BOTH engines — so agreement cannot be an
+artifact of fixture shape.
+
+Examples are bounded (Spark jobs are ~100 ms each); the generators
+deliberately overweight the differential-testing hazards: NULL keys,
+NULL measures, duplicate rows, empty groups, negative values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.helpers import assert_same
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # reproducible corpus across runs
+)
+
+# rows: (key, sub, val) with nulls and duplicates everywhere
+_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        st.integers(min_value=0, max_value=2),
+        st.one_of(
+            st.none(), st.integers(min_value=-100, max_value=100)
+        ),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _mk(spark, tmp_path, rows, name):
+    df = spark.createDataFrame(
+        rows or [(None, 0, None)], "k long, sub long, v long"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    path = os.path.join(str(tmp_path), name)
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'"
+    )
+    return spark.read.parquet(path), con
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_groupby_agg_nulls_random(spark, tmp_path_factory, rows):
+    """COUNT(*) vs COUNT(v) vs SUM/MIN/MAX under NULL keys and NULL
+    measures: NULL is a real group, COUNT skips NULL values, SUM of
+    all-NULL groups is NULL."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    df, con = _mk(spark, tmp, rows, "t_agg")
+    got = (
+        df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_vals"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("k")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT k, COUNT(*) AS n_rows, COUNT(v) AS n_vals,
+               CAST(SUM(v) AS BIGINT) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
+        FROM t_agg GROUP BY k ORDER BY k
+        """,
+        name="groupby_agg_nulls_random",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, rows2=_ROWS)
+def test_join_null_keys_random(spark, tmp_path_factory, rows, rows2):
+    """Inner and left joins never match NULL keys; left join preserves
+    unmatched and NULL-key probe rows with NULL payload."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    a, con = _mk(spark, tmp, rows, "t_a")
+    b, _ = _mk(spark, tmp, rows2, "t_b")
+    con.execute(
+        f"CREATE VIEW t_b2 AS SELECT * FROM "
+        f"'{os.path.join(str(tmp), 't_b')}/*.parquet'"
+    )
+    bagg = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    got = (
+        a.join(bagg, "k", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nb").alias("sum_nb"),
+        )
+        .orderBy("k")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        WITH bagg AS (SELECT k, COUNT(*) AS nb FROM t_b2 GROUP BY k)
+        SELECT a.k, COUNT(*) AS n, CAST(SUM(bagg.nb) AS BIGINT) AS sum_nb
+        FROM t_a a LEFT JOIN bagg ON a.k = bagg.k
+        GROUP BY a.k ORDER BY a.k
+        """,
+        name="join_null_keys_random",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_running_window_random(spark, tmp_path_factory, rows):
+    """Running SUM/COUNT over a deterministic total order, including
+    NULL measures inside frames."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    df, con = _mk(spark, tmp, rows, "t_win")
+    # deterministic order: (sub, v, k) with NULLS FIRST on both engines
+    w = (
+        Window.partitionBy("sub")
+        .orderBy(
+            F.col("v").asc_nulls_first(), F.col("k").asc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = df.select(
+        "sub",
+        "k",
+        "v",
+        F.sum("v").over(w).alias("run_sum"),
+        F.count(F.lit(1)).over(w).alias("run_n"),
+    ).orderBy("sub", F.col("v").asc_nulls_first(), F.col("k").asc_nulls_first(), "run_n")
+    assert_same(
+        got,
+        con,
+        """
+        SELECT sub, k, v,
+               CAST(SUM(v) OVER w AS BIGINT) AS run_sum,
+               COUNT(*) OVER w AS run_n
+        FROM t_win
+        WINDOW w AS (PARTITION BY sub
+                     ORDER BY v ASC NULLS FIRST, k ASC NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY sub, v ASC NULLS FIRST, k ASC NULLS FIRST, run_n
+        """,
+        name="running_window_random",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, rows2=_ROWS)
+def test_set_ops_duplicates_random(spark, tmp_path_factory, rows, rows2):
+    """INTERSECT/EXCEPT ALL bag semantics with duplicate and NULL rows
+    (NULL = NULL for set operations, unlike joins)."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    a, con = _mk(spark, tmp, rows, "t_sa")
+    b, _ = _mk(spark, tmp, rows2, "t_sb")
+    con.execute(
+        f"CREATE VIEW t_sb2 AS SELECT * FROM "
+        f"'{os.path.join(str(tmp), 't_sb')}/*.parquet'"
+    )
+    got = (
+        a.select("k", "v")
+        .intersectAll(b.select("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k", "v")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT k, v, COUNT(*) AS n FROM (
+          SELECT k, v FROM t_sa INTERSECT ALL SELECT k, v FROM t_sb2
+        ) GROUP BY k, v ORDER BY k, v
+        """,
+        name="set_ops_duplicates_random",
+    )
