@@ -120,3 +120,117 @@ def scalar_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s3spark_try_documents"
     )
     return spark.sql(_TRY_SPARK)
+
+
+# --------------------------------------------------------------------------
+# scalar_collation_groupby
+# --------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+              ELSE o_orderpriority END AS s,
+         o_totalprice
+  FROM orders
+)
+SELECT lower(s) AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM t
+WHERE lower(s) IN ('1-urgent', '2-high')
+GROUP BY lower(s)
+ORDER BY priority
+"""
+
+_COLLATE_SPARK = """
+WITH t AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+              ELSE o_orderpriority END AS s,
+         o_totalprice
+  FROM s3spark_collate_orders
+)
+SELECT lower(min(s)) AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM t
+WHERE s COLLATE UTF8_LCASE IN ('1-urgent', '2-high')
+GROUP BY s COLLATE UTF8_LCASE
+ORDER BY priority
+"""
+
+
+@register("scalar_collation_groupby", oracle=_COLLATE_ORACLE)
+def scalar_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: case-insensitive filtering and
+    grouping via ``COLLATE UTF8_LCASE`` on a deliberately mixed-case
+    column (half the priorities lowercased by key parity) — the
+    engine-level answer to scattering lower() into every predicate.
+    Collation-aware equality rides hash joins/aggregations natively
+    (the collation key is part of the grouping hash).  The group
+    label is canonicalized with lower(min(s)): all members of an
+    LCASE group are case variants of one string, so the label is
+    deterministic even though min over collated ties is not.  The
+    oracle expresses the identical semantics with explicit lower()."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "s3spark_collate_orders"
+    )
+    return spark.sql(_COLLATE_SPARK)
+
+
+# --------------------------------------------------------------------------
+# sql_transpose
+# --------------------------------------------------------------------------
+
+_TRANSPOSE_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS p,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS sum_price
+  FROM orders GROUP BY 1
+)
+SELECT 'n_orders' AS key,
+       MAX(CASE WHEN p = '1-URGENT' THEN n_orders END) AS "1-URGENT",
+       MAX(CASE WHEN p = '2-HIGH' THEN n_orders END) AS "2-HIGH",
+       MAX(CASE WHEN p = '3-MEDIUM' THEN n_orders END) AS "3-MEDIUM",
+       MAX(CASE WHEN p = '4-NOT SPECIFIED' THEN n_orders END)
+         AS "4-NOT SPECIFIED",
+       MAX(CASE WHEN p = '5-LOW' THEN n_orders END) AS "5-LOW"
+FROM m
+UNION ALL
+SELECT 'sum_price',
+       MAX(CASE WHEN p = '1-URGENT' THEN sum_price END),
+       MAX(CASE WHEN p = '2-HIGH' THEN sum_price END),
+       MAX(CASE WHEN p = '3-MEDIUM' THEN sum_price END),
+       MAX(CASE WHEN p = '4-NOT SPECIFIED' THEN sum_price END),
+       MAX(CASE WHEN p = '5-LOW' THEN sum_price END)
+FROM m
+ORDER BY key
+"""
+
+
+@register("sql_transpose", oracle=_TRANSPOSE_ORACLE)
+def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose()``: flip a SMALL aggregated
+    metrics frame so metrics become rows and group values become
+    columns — the presentation-layer complement of pivot/unpivot.
+    Transpose must enumerate the index values to name the output
+    columns (an inherent driver-side step), so the engine rule is:
+    aggregate FIRST (5 groups here), transpose the summary — never a
+    fact table.  Metrics are pre-cast to a common double type, which
+    transpose requires.  The oracle builds the same transposed shape
+    with conditional aggregation + UNION ALL."""
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders")
+    from s3spark.io import dsum
+
+    m = (
+        o.groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("p")
+    )
+    return m.transpose().orderBy("key")
