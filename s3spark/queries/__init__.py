@@ -3,12 +3,12 @@ registers every verified query into ``s3spark.registry.REGISTRY``.
 
 Registration order matters operationally: the driver's correctness
 window records keys in *registration order* and caps how many it
-verifies (~50/round).  Rounds 1+2 officially witnessed 78 distinct
-keys (the union of CORRECTNESS_r01/r02); per the round-2 verdict's
-top item, this round rotates the order at *key level* so the window
-lands on never-witnessed keys first.  ``_rotate_registry()`` below
-rebuilds the dict: unwitnessed keys keep their relative order and go
-first, already-witnessed keys follow.
+verifies (~50/round).  Rounds 1-3 witnessed 121 distinct green keys
+(union of CORRECTNESS_r01-r03); ``_rotate_registry()`` below rebuilds
+the dict each import so the window always lands on dirty/rewritten
+keys first, then never-witnessed keys, then witnessed ones — the
+key-level rotation the round-2 verdict asked for, tightened in round
+3 to count only GREEN rows as witnessed.
 """
 
 from s3spark.queries import (  # noqa: F401
