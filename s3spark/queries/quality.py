@@ -167,3 +167,90 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_profile_summary
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _profile_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       (SELECT COUNT(*) FROM orders WHERE {col} IS NULL) AS n_nulls,
+       (SELECT COUNT(DISTINCT {col}) FROM orders) AS n_distinct,
+       (SELECT MIN(CAST({col} AS VARCHAR)) FROM orders) AS min_str,
+       (SELECT MAX(CAST({col} AS VARCHAR)) FROM orders) AS max_str,
+       (SELECT CAST({col} AS VARCHAR) FROM orders
+        WHERE {col} IS NOT NULL
+        GROUP BY 1 ORDER BY COUNT(*) DESC, 1 ASC LIMIT 1) AS top_value,
+       (SELECT COUNT(*) FROM orders WHERE {col} IS NOT NULL
+        GROUP BY CAST({col} AS VARCHAR) ORDER BY COUNT(*) DESC,
+                 CAST({col} AS VARCHAR) ASC LIMIT 1) AS top_count
+"""
+
+
+_PROFILE_ORACLE = (
+    "\nUNION ALL\n".join(_profile_col_sql(c) for c in _PROFILE_COLS)
+    + "\nORDER BY column_name"
+)
+
+
+@register("dq_profile_summary", oracle=_PROFILE_ORACLE)
+def dq_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling at scale: per-column null count, distinct count,
+    lexicographic min/max, and the mode (most frequent value, ties to
+    the smallest string) — the `describe()`-style summary a pipeline
+    emits before trusting a new feed.  Engine shape: ONE unpivoted
+    pass — the columns melt to (column_name, value) rows via an
+    in-row stack, then a single (column, value) count aggregate feeds
+    every statistic (nulls, distincts, min/max, windowed mode), so
+    profiling C columns costs one scan and shuffles only
+    |C × distinct values| count rows, not the table.  The oracle
+    spells each statistic as an independent subquery."""
+    o = table(spark, sf_dir, "orders")
+    stack_expr = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    melted = o.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr})"
+            " AS (column_name, value)"
+        )
+    )
+    counts = melted.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc_nulls_last()
+    )
+    # mode over NON-NULL values only (matching the oracle's subquery)
+    ranked = counts.filter(F.col("value").isNotNull()).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        counts.groupBy("column_name")
+        .agg(
+            F.sum(
+                F.when(F.col("value").isNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_nulls"),
+            F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias(
+                "n_distinct"
+            ),
+            F.min("value").alias("min_str"),
+            F.max("value").alias("max_str"),
+        )
+        .join(
+            ranked.filter(F.col("rn") == 1).select(
+                "column_name",
+                F.col("value").alias("top_value"),
+                F.col("cnt").alias("top_count"),
+            ),
+            "column_name",
+        )
+        .orderBy("column_name")
+    )
