@@ -193,3 +193,99 @@ def test_set_ops_duplicates_random(spark, tmp_path_factory, rows, rows2):
         """,
         name="set_ops_duplicates_random",
     )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_asof_emulation_vs_native_random(spark, tmp_path_factory, rows):
+    """Our union-then-window as-of EMULATION (the join_asof recipe)
+    must agree with DuckDB's native ASOF LEFT JOIN on random series —
+    including duplicate timestamps and keys with no reference rows.
+    (k, sub, v) maps to (series, time, flag): probe = all rows,
+    reference = rows with v IS NOT NULL, inclusive backward match."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    df, con = _mk(spark, tmp, rows, "t_asof")
+    # make time unique per series to keep the match well-defined:
+    # dedupe (k, sub) pairs first on both engines
+    base = df.groupBy("k", "sub").agg(F.max("v").alias("v"))
+    con.execute(
+        "CREATE VIEW t_asof_d AS "
+        "SELECT k, sub, MAX(v) AS v FROM t_asof GROUP BY k, sub"
+    )
+    probes = base.select(
+        "k",
+        F.col("sub").alias("t"),
+        F.lit(None).cast("long").alias("ref_t"),
+        F.lit(1).alias("kind"),
+    )
+    refs = base.filter(F.col("v").isNotNull()).select(
+        "k",
+        F.col("sub").alias("t"),
+        F.col("sub").alias("ref_t"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        probes.unionByName(refs)
+        .withColumn("last_ref_t", F.last("ref_t", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("k", "t", "last_ref_t")
+        .orderBy("k", "t")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        -- NULL series keys: COALESCE to a sentinel outside the value
+        -- domain, because an OR-form equality silently breaks DuckDB's
+        -- ASOF LEFT JOIN (unmatched probe rows vanish - found here);
+        -- Spark's window partitionBy already groups NULL as its own key
+        SELECT p.k, p.sub AS t, r.sub AS last_ref_t
+        FROM t_asof_d p
+        ASOF LEFT JOIN (SELECT k, sub FROM t_asof_d WHERE v IS NOT NULL) r
+          ON COALESCE(p.k, 999) = COALESCE(r.k, 999)
+         AND p.sub >= r.sub
+        ORDER BY p.k, p.sub
+        """,
+        name="asof_emulation_vs_native_random",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, rows2=_ROWS)
+def test_not_in_rewrite_vs_native_random(spark, tmp_path_factory, rows, rows2):
+    """not_in_shuffled (the scalable NOT IN rewrite) must agree with
+    DuckDB's native NOT IN under random NULL patterns on both sides —
+    the 3VL property on arbitrary inputs, not just the fixture or the
+    hand-picked unit-test shapes."""
+    from s3spark.queries.relational6 import not_in_shuffled
+
+    tmp = tmp_path_factory.mktemp("diffrand")
+    a, con = _mk(spark, tmp, rows, "t_nia")
+    b, _ = _mk(spark, tmp, rows2, "t_nib")
+    con.execute(
+        f"CREATE VIEW t_nib2 AS SELECT * FROM "
+        f"'{os.path.join(str(tmp), 't_nib')}/*.parquet'"
+    )
+    got = (
+        not_in_shuffled(
+            a.select("k", "sub"), b.select(F.col("v").alias("bk")), "k", "bk"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT k, COUNT(*) AS n FROM t_nia
+        WHERE k NOT IN (SELECT v FROM t_nib2)
+        GROUP BY k ORDER BY k
+        """,
+        name="not_in_rewrite_vs_native_random",
+    )
