@@ -251,6 +251,8 @@ def dq_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("top_count"),
             ),
             "column_name",
+            "left",  # an all-NULL column has no mode row; keep its
+            # profile row with NULL top_value/top_count like the oracle
         )
         .orderBy("column_name")
     )

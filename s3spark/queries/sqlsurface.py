@@ -231,6 +231,6 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n_orders"),
             dsum("o_totalprice").alias("sum_price"),
         )
-        .orderBy("p")
     )
+    # no pre-sort: transpose() orders the index values itself
     return m.transpose().orderBy("key")

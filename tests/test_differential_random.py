@@ -44,7 +44,10 @@ _ROWS = st.lists(
 )
 
 
-def _mk(spark, tmp_path, rows, name):
+def _mk(spark, tmp_path, rows, name, con=None):
+    """Write rows to parquet and register a same-named DuckDB view.
+    Pass an existing `con` to register a second table on it (one
+    connection per test, not per table)."""
     df = spark.createDataFrame(
         rows or [(None, 0, None)], "k long, sub long, v long"
     )
@@ -52,7 +55,8 @@ def _mk(spark, tmp_path, rows, name):
         df = df.filter(F.lit(False))
     path = os.path.join(str(tmp_path), name)
     df.write.mode("overwrite").parquet(path)
-    con = duckdb.connect()
+    if con is None:
+        con = duckdb.connect()
     con.execute(
         f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'"
     )
@@ -97,11 +101,7 @@ def test_join_null_keys_random(spark, tmp_path_factory, rows, rows2):
     unmatched and NULL-key probe rows with NULL payload."""
     tmp = tmp_path_factory.mktemp("diffrand")
     a, con = _mk(spark, tmp, rows, "t_a")
-    b, _ = _mk(spark, tmp, rows2, "t_b")
-    con.execute(
-        f"CREATE VIEW t_b2 AS SELECT * FROM "
-        f"'{os.path.join(str(tmp), 't_b')}/*.parquet'"
-    )
+    b, _ = _mk(spark, tmp, rows2, "t_b2", con=con)
     bagg = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
     got = (
         a.join(bagg, "k", "left")
@@ -171,11 +171,7 @@ def test_set_ops_duplicates_random(spark, tmp_path_factory, rows, rows2):
     (NULL = NULL for set operations, unlike joins)."""
     tmp = tmp_path_factory.mktemp("diffrand")
     a, con = _mk(spark, tmp, rows, "t_sa")
-    b, _ = _mk(spark, tmp, rows2, "t_sb")
-    con.execute(
-        f"CREATE VIEW t_sb2 AS SELECT * FROM "
-        f"'{os.path.join(str(tmp), 't_sb')}/*.parquet'"
-    )
+    b, _ = _mk(spark, tmp, rows2, "t_sb2", con=con)
     got = (
         a.select("k", "v")
         .intersectAll(b.select("k", "v"))
@@ -266,11 +262,7 @@ def test_not_in_rewrite_vs_native_random(spark, tmp_path_factory, rows, rows2):
 
     tmp = tmp_path_factory.mktemp("diffrand")
     a, con = _mk(spark, tmp, rows, "t_nia")
-    b, _ = _mk(spark, tmp, rows2, "t_nib")
-    con.execute(
-        f"CREATE VIEW t_nib2 AS SELECT * FROM "
-        f"'{os.path.join(str(tmp), 't_nib')}/*.parquet'"
-    )
+    b, _ = _mk(spark, tmp, rows2, "t_nib2", con=con)
     got = (
         not_in_shuffled(
             a.select("k", "sub"), b.select(F.col("v").alias("bk")), "k", "bk"

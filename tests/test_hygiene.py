@@ -62,3 +62,24 @@ def test_bench_detail_integrity():
         f"{len(missing)} registered keys absent from BENCH_DETAIL.json "
         f"(stale detail — re-run `python bench.py`): {sorted(missing)[:10]}"
     )
+
+
+def test_fixture_has_all_five_order_priorities():
+    """sql_transpose's oracle names all five o_orderpriority values as
+    output columns, so the key is coupled to this fixture invariant —
+    pin it so a fixture change fails HERE with a clear message, not in
+    the key with an opaque schema mismatch."""
+    import duckdb
+
+    vals = {
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT DISTINCT o_orderpriority FROM "
+            "'/root/testdata/sf0.01/orders.parquet'"
+        )
+        .fetchall()
+    }
+    assert vals == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }
