@@ -394,3 +394,63 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_exact_normalized
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h AS norm_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT source) AS n_sources
+FROM norm
+GROUP BY h
+HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+"""
+
+
+@register("dedup_exact_normalized", oracle=_NORM_ORACLE)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash exact dedup — the standard first pass of
+    a corpus pipeline (CCNet-style): lowercase, strip non-alphanumeric,
+    collapse whitespace, trim, THEN hash — so case/punctuation/spacing
+    variants of the same content collapse where raw-byte
+    ``dedup_exact`` would not.  Reports duplicate groups with keeper,
+    copy count, and how many distinct sources the duplicate spans
+    (cross-source duplication is the usual scraping signal).  Pure
+    codegen expressions into one hash-keyed aggregate: at 100 TB the
+    shuffle carries 16-byte digests + two counters per distinct
+    normalized document, never the text."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col("text")), "[^a-z0-9 ]", ""
+                ),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select("doc_id", "source", norm.alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
