@@ -503,7 +503,12 @@ def _band_self_join_hamming(
     (band index, band value) with doc_id ordering, dedup candidate
     pairs, and verify with a codegen bit_count Hamming distance over
     all bands.  Returns (doc_a, doc_b, hamming) with hamming <=
-    ham_max."""
+    ham_max.  The signature input is localCheckpointed first: the
+    self-join references it twice, and without the lineage cut each
+    alias replays the upstream decode kernels — every payload decoded
+    twice (the pagerank/triangle materialization lesson applied to
+    Arrow kernels)."""
+    sig = sig.localCheckpoint(eager=True)
     bcols = [f"b{k}" for k in range(n_bands)]
     band_structs = F.array(
         *[
@@ -763,3 +768,128 @@ def mm_audio_fingerprint_dedup(
         schema="doc_id long, " + ", ".join(f"{c} int" for c in bcols),
     )
     return _band_self_join_hamming(sig, _AF_BANDS, _AF_HAM_MAX)
+
+
+# ------------------------------------------------------ multimodal pipeline
+
+_MMP_HAM = 2  # planted same-scene pairs measured <= 2 bits apart
+
+
+def _ph_pixel_sum_sql() -> str:
+    """Oracle twin of the decoded pixel sum for the textured family:
+    256 pure-arithmetic pixels folded in one list_sum."""
+    return (
+        "list_sum(list_transform(range(256), i -> "
+        f"(7*(i%16)*(i%16) + 11*(i//16)*(i//16) + 5*(i%16)*(i//16)"
+        f" + (doc_id % {_PH_SCENES}) * (3*(i%16) + 7*(i//16))"
+        f" + 13 * (doc_id % {_PH_SCENES})"
+        f" + CASE WHEN (3*(i%16) + 5*(i//16) + doc_id) % 29 = 0"
+        f" THEN 1 ELSE 0 END) % 256))"
+    )
+
+
+_MMP_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST({_ph_pixel_sum_sql()} AS BIGINT) AS pixel_sum,
+         {", ".join(f"({_ph_band_sql(k)}) AS b{k}" for k in range(4))}
+  FROM documents WHERE doc_id < {_PH_DOCS}
+),
+bands AS (
+  SELECT doc_id, b0, b1, b2, b3, k,
+         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM sig, UNNEST(range(4)) AS u(k)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {_MMP_HAM}
+),
+dropped AS (SELECT DISTINCT doc_b FROM pairs)
+SELECT s.doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       s.pixel_sum,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_absorbed
+FROM sig s
+LEFT JOIN (SELECT doc_a, COUNT(*) AS n FROM pairs GROUP BY doc_a) a
+  ON a.doc_a = s.doc_id
+WHERE s.doc_id NOT IN (SELECT doc_b FROM dropped)
+ORDER BY s.doc_id
+"""
+
+
+@register("mm_pipeline_e2e", oracle=_MMP_ORACLE)
+def mm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest pipeline END-TO-END as one plan:
+    synthesize real PNG payloads → decode (chunk walk, CRC, inflate,
+    de-filter) + feature-extract (dims, pixel sum) + 64-bit dHash, ALL
+    in a single Arrow kernel pass over each payload → 4×16-bit band
+    self-join → Hamming ≤ {_MMP_HAM} near-dup pairs → deterministic
+    survivorship (a doc is dropped iff ANY smaller doc is a near-dup —
+    well-defined without connected components, identical in SQL) →
+    surviving docs with features and absorbed-duplicate counts.
+
+    The multimodal analog of curation_pipeline_e2e: Python touches
+    each payload exactly once (encode kernel + decode/feature/hash
+    kernel — plan-gated to two MapInPandas), and everything after the
+    per-item signature is JVM codegen: band equi-join, bit_count
+    verify, anti-join survivorship.  FULL value oracle — decode,
+    features, banding, pairing, and survivorship all replayed as pure
+    doc_id arithmetic in DuckDB."""
+    b = _synth_media(spark, sf_dir, _encode_png_textured, _PH_DOCS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _d, _c, px = _decode_png(bytes(payload))
+                b0, b1, b2, b3 = _dhash_bands(px, w)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "pixel_sum": sum(px),
+                        "b0": b0, "b1": b1, "b2": b2, "b3": b3,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    sig = b.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, width int, height int, pixel_sum long,"
+            " b0 int, b1 int, b2 int, b3 int"
+        ),
+        # sig fans out 4 ways below; without the lineage cut each
+        # reference replays BOTH kernels (10 MapInPandas stages
+        # observed -> payloads decoded 5x)
+    ).localCheckpoint(eager=True)
+    pairs = _band_self_join_hamming(
+        sig.select("doc_id", "b0", "b1", "b2", "b3"), 4, _MMP_HAM
+    ).select("doc_a", "doc_b")
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    absorbed = pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_absorbed")
+    )
+    return (
+        sig.join(dropped, "doc_id", "left_anti")
+        .join(
+            absorbed, sig["doc_id"] == absorbed["doc_a"], "left"
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "pixel_sum",
+            F.coalesce("n_absorbed", F.lit(0)).cast("long").alias(
+                "n_absorbed"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -66,6 +66,7 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "mm_frame_sample_wav",
         "mm_image_phash_dedup",
         "mm_audio_fingerprint_dedup",
+        "mm_pipeline_e2e",
     }
     offenders = []
     for name in sorted(REGISTRY):
@@ -557,3 +558,18 @@ def test_bfs_final_plan_reads_only_checkpoint(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_bfs_distance")
     assert "lineitem" not in plan
     assert "FileScan parquet" not in plan
+
+
+def test_mm_pipeline_python_touches_each_payload_once(spark, sf_dir):
+    """mm_pipeline_e2e: the encode + fused decode/feature/hash kernels
+    run ONCE, at the eager signature checkpoint — the final plan fans
+    out over the checkpointed signature table (Scan ExistingRDD) with
+    ZERO Python stages; banding, Hamming verify, and survivorship are
+    JVM codegen.  (Without the lineage cut the 4-way signature fan-out
+    replayed both kernels per reference: 10 MapInPandas stages,
+    payloads decoded 5x.)"""
+    plan = plan_of(spark, sf_dir, "mm_pipeline_e2e")
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
