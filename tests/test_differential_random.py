@@ -281,3 +281,52 @@ def test_not_in_rewrite_vs_native_random(spark, tmp_path_factory, rows, rows2):
         """,
         name="not_in_rewrite_vs_native_random",
     )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_range_frame_peer_semantics_random(spark, tmp_path_factory, rows):
+    """RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW includes the
+    current row's PEERS (equal ORDER BY values) — unlike ROWS.  Both
+    engines must agree on random data with heavy duplicate order keys,
+    where the ROWS/RANGE distinction actually bites."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    df, con = _mk(spark, tmp, rows, "t_range")
+    w = (
+        Window.partitionBy("sub")
+        .orderBy(F.col("k").asc_nulls_first())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        df.select(
+            "sub",
+            "k",
+            F.count(F.lit(1)).over(w).alias("n_upto_peers"),
+            F.sum("v").over(w).alias("sum_upto_peers"),
+        )
+        # rows within a peer group are identical in output; aggregate
+        # them so the comparison is well-defined row-for-row
+        .groupBy("sub", "k", "n_upto_peers", "sum_upto_peers")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("sub", F.col("k").asc_nulls_first())
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT sub, k, n_upto_peers, sum_upto_peers,
+               COUNT(*) AS n_rows
+        FROM (
+          SELECT sub, k,
+                 COUNT(*) OVER w AS n_upto_peers,
+                 CAST(SUM(v) OVER w AS BIGINT) AS sum_upto_peers
+          FROM t_range
+          WINDOW w AS (PARTITION BY sub ORDER BY k ASC NULLS FIRST
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+        )
+        GROUP BY sub, k, n_upto_peers, sum_upto_peers
+        ORDER BY sub, k ASC NULLS FIRST
+        """,
+        name="range_frame_peer_semantics_random",
+    )
