@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 
 import duckdb
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import Window
@@ -329,4 +329,71 @@ def test_range_frame_peer_semantics_random(spark, tmp_path_factory, rows):
         ORDER BY sub, k ASC NULLS FIRST
         """,
         name="range_frame_peer_semantics_random",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_rollup_grouping_marker_random(spark, tmp_path_factory, rows):
+    """ROLLUP emits subtotal rows whose key is NULL — indistinguishable
+    from groups of ACTUAL NULL keys except via GROUPING().  Both
+    engines must agree on random data containing real NULL keys, the
+    classic rollup ambiguity.
+
+    Documented divergence (found by this test): on EMPTY input DuckDB
+    emits the () grand-total row (COUNT 0, per the grouping-sets
+    reading of the standard) while Spark emits nothing — non-empty
+    inputs only here."""
+    assume(rows)
+    tmp = tmp_path_factory.mktemp("diffrand")
+    df, con = _mk(spark, tmp, rows, "t_roll")
+    got = (
+        df.rollup("k", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("k").cast("long").alias("gk"),
+            F.grouping("sub").cast("long").alias("gs"),
+        )
+        .orderBy("gk", "gs", "k", "sub")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT k, sub, COUNT(*) AS n,
+               CAST(GROUPING(k) AS BIGINT) AS gk,
+               CAST(GROUPING(sub) AS BIGINT) AS gs
+        FROM t_roll
+        GROUP BY ROLLUP (k, sub)
+        ORDER BY gk, gs, k, sub
+        """,
+        name="rollup_grouping_marker_random",
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, rows2=_ROWS)
+def test_except_all_bag_semantics_random(spark, tmp_path_factory, rows, rows2):
+    """EXCEPT ALL subtracts multiplicities (max(count_a - count_b, 0)
+    per distinct row, NULLs equal) — verified on random duplicate-heavy
+    inputs."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    a, con = _mk(spark, tmp, rows, "t_ea")
+    b, _ = _mk(spark, tmp, rows2, "t_eb2", con=con)
+    got = (
+        a.select("k", "v")
+        .exceptAll(b.select("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k", "v")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT k, v, COUNT(*) AS n FROM (
+          SELECT k, v FROM t_ea EXCEPT ALL SELECT k, v FROM t_eb2
+        ) GROUP BY k, v ORDER BY k, v
+        """,
+        name="except_all_bag_semantics_random",
     )
