@@ -397,3 +397,37 @@ def test_except_all_bag_semantics_random(spark, tmp_path_factory, rows, rows2):
         """,
         name="except_all_bag_semantics_random",
     )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, rows2=_ROWS)
+def test_full_outer_join_random(spark, tmp_path_factory, rows, rows2):
+    """FULL OUTER join: both sides' unmatched rows survive
+    null-extended, NULL keys never match, duplicate keys fan out —
+    verified on random inputs via per-key row counts."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    a, con = _mk(spark, tmp, rows, "t_fa")
+    b, _ = _mk(spark, tmp, rows2, "t_fb2", con=con)
+    al = a.select(F.col("k").alias("ka"), F.col("sub").alias("sa"))
+    bl = b.select(F.col("k").alias("kb"), F.col("sub").alias("sb"))
+    got = (
+        al.join(bl, al["ka"] == bl["kb"], "full_outer")
+        .groupBy("ka", "kb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("sa").alias("n_left"),
+            F.count("sb").alias("n_right"),
+        )
+        .orderBy("ka", "kb")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n,
+               COUNT(a.sub) AS n_left, COUNT(b.sub) AS n_right
+        FROM t_fa a FULL OUTER JOIN t_fb2 b ON a.k = b.k
+        GROUP BY a.k, b.k ORDER BY ka, kb
+        """,
+        name="full_outer_join_random",
+    )
