@@ -431,3 +431,35 @@ def test_full_outer_join_random(spark, tmp_path_factory, rows, rows2):
         """,
         name="full_outer_join_random",
     )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_pivot_explicit_values_random(spark, tmp_path_factory, rows):
+    """groupBy().pivot(values).count() == conditional aggregation, with
+    NULL group keys kept as real groups and unmatched pivot cells NULL
+    (Spark pivot-count yields NULL, not 0, for empty cells)."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    df, con = _mk(spark, tmp, rows, "t_piv")
+    got = (
+        df.groupBy("k")
+        .pivot("sub", [0, 1, 2])
+        .count()
+        .withColumnsRenamed({"0": "s0", "1": "s1", "2": "s2"})
+        .orderBy("k")
+    )
+    assert_same(
+        got,
+        con,
+        """
+        SELECT k,
+               CASE WHEN COUNT(CASE WHEN sub = 0 THEN 1 END) > 0
+                    THEN COUNT(CASE WHEN sub = 0 THEN 1 END) END AS s0,
+               CASE WHEN COUNT(CASE WHEN sub = 1 THEN 1 END) > 0
+                    THEN COUNT(CASE WHEN sub = 1 THEN 1 END) END AS s1,
+               CASE WHEN COUNT(CASE WHEN sub = 2 THEN 1 END) > 0
+                    THEN COUNT(CASE WHEN sub = 2 THEN 1 END) END AS s2
+        FROM t_piv GROUP BY k ORDER BY k
+        """,
+        name="pivot_explicit_values_random",
+    )
