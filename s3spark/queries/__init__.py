@@ -107,17 +107,16 @@ _WITNESSED_R1_R2 = frozenset({
 # re-records them.  Maintained by hand per round — add a key here when
 # rewriting it, remove it once a post-rewrite CORRECTNESS row lands.
 _DIRTY_KEYS = frozenset({
-    # rewritten in round 3, shipped without a fresh driver row:
-    "sim_ann_ivf",
-    "dedup_simhash",
-    "sink_dynamic_partition_overwrite",
-    # rewritten in round 4 (md5-portable hashes / determinism / guards):
-    "dedup_fuzzy_minhash",
-    "sim_ann_lsh_hand",
-    "decontaminate_ngram_overlap",
-    "curation_pipeline_e2e",
-    "dedup_minhash_survivors",
-    "agg_approx_percentile",
+    # round-3/4 rewrites all landed green CORRECTNESS_r04 rows and were
+    # cleared per the round-5 rotation TODO (ROUND_NOTES.md).
+    # Rewritten in round 5 — array-typed output columns flattened to
+    # driver-hashable scalars (the r4 err class); the r4 err rows
+    # already keep the two erred keys un-witnessed, but the dirty flag
+    # guarantees front-of-window placement and covers agg_collect_array
+    # (unwitnessed, same rewrite):
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "agg_collect_array",
 })
 
 

@@ -23,26 +23,29 @@ dims AS (
   SELECT label, i, round(AVG(v), 6) AS c
   FROM flat GROUP BY label, i
 )
-SELECT label,
-       list(c ORDER BY i) AS centroid,
+SELECT dims.label, CAST(i AS BIGINT) AS i, c,
        (SELECT COUNT(*) FROM embeddings e2 WHERE e2.label = dims.label)
          AS n_members
 FROM dims
-GROUP BY label
-ORDER BY label
+ORDER BY label, i
 """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroids (one k-means M-step): explode
-    vectors to (label, dim, value), average per (label, dim), fold
-    back into ordered arrays.
+    vectors to (label, dim, value), average per (label, dim).
+
+    Output is MELTED — one (label, i, c, n_members) row per centroid
+    dimension, not an array column: the binding harness canonicalizes
+    results via pandas sort-then-hash, and list-valued cells are
+    unhashable there (round-4 driver err).  Melted rows carry the
+    identical information and every cell is a hashable scalar.
 
     The explode keeps averaging inside codegen'd built-ins — no
     Python touches the 64-dim math — and the shuffle key (label, dim)
     spreads one class's vectors over dims×partitions instead of
     concentrating per label, exactly the salting effect wide vectors
-    need at 100 TB.  Averages round to 6 dp inside the array on both
-    engines so cell values are bit-identical before hashing."""
+    need at 100 TB.  Averages round to 6 dp on both engines so cell
+    values are bit-identical before hashing."""
     e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label", F.posexplode("embedding").alias("i0", "v")
@@ -50,15 +53,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = flat.groupBy("label", "i").agg(F.round(F.avg("v"), 6).alias("c"))
     members = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        dims.groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("i", "c"))
-            ).getField("c").alias("centroid")
-        )
-        .join(members, "label")
-        .select("label", "centroid", "n_members")
-        .orderBy("label")
+        dims.join(members, "label")
+        .select("label", F.col("i").cast("long").alias("i"), "c", "n_members")
+        .orderBy("label", "i")
     )
 
 

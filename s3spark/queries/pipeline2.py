@@ -95,7 +95,11 @@ s AS (
 )
 SELECT vec_id,
        round(scale, 6) AS scale,
-       list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+       array_to_string(
+         list_transform(emb,
+                        x -> CAST(CAST(floor(x * scale + 0.5) AS INTEGER)
+                                  AS VARCHAR)),
+         ',') AS q_csv
 FROM s
 ORDER BY vec_id
 """,
@@ -105,6 +109,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     127/max|x|, values mapped with floor(x*scale+0.5) — 4× smaller
     vectors for ANN candidate generation, exact floats kept only for
     re-ranking.
+
+    The quantized vector is emitted as a canonical CSV string
+    (``q_csv``), not an array column: the binding harness hashes
+    results through pandas and list cells are unhashable there
+    (round-4 driver err).  A dimension-ordered join of the int codes
+    is a lossless, hashable encoding of the same value.
 
     floor(x+0.5) instead of round(): Spark HALF_UP vs DuckDB C-style
     rounding diverge on exact .5 doubles (ROUND_NOTES), floor is
@@ -120,10 +130,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("scale", 6).alias("scale"),
-            F.transform(
-                F.col("emb"),
-                lambda x: F.floor(x * F.col("scale") + 0.5).cast("int"),
-            ).alias("q"),
+            F.array_join(
+                F.transform(
+                    F.col("emb"),
+                    lambda x: F.floor(x * F.col("scale") + 0.5)
+                    .cast("int")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("q_csv"),
         )
         .orderBy("vec_id")
     )

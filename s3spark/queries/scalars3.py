@@ -19,7 +19,8 @@ from s3spark.registry import register
     "scalar_string_extended",
     oracle="""
 SELECT doc_id,
-       regexp_extract_all(text, '\\bta[a-z]*') AS ta_words,
+       COALESCE(array_to_string(regexp_extract_all(text, '\\bta[a-z]*'), '|'),
+                '') AS ta_words,
        translate(source, 'src', 'SRC') AS src_up,
        repeat(lang, 3) AS lang3,
        reverse(source) AS rev_src,
@@ -32,14 +33,18 @@ ORDER BY doc_id
 """,
 )
 def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String long tail: multi-match regex extraction (array result),
-    character translation, repeat/reverse, codepoint, prefix/suffix
-    slicing.  All codegen'd JVM expressions — regexp_extract_all's
-    array output feeds the same HOF pipeline the tokenizers use."""
+    """String long tail: multi-match regex extraction, character
+    translation, repeat/reverse, codepoint, prefix/suffix slicing.
+    All codegen'd JVM expressions — regexp_extract_all's array output
+    feeds the same HOF pipeline the tokenizers use; it is emitted
+    '|'-joined so the output cell is a driver-hashable scalar (list
+    cells break the driver's pandas canonicalizer — r4 err class)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit(r"\bta[a-z]*"), 0).alias("ta_words"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\bta[a-z]*"), 0), "|"
+        ).alias("ta_words"),
         F.translate("source", "src", "SRC").alias("src_up"),
         F.repeat("lang", 3).alias("lang3"),
         F.reverse("source").alias("rev_src"),
@@ -124,7 +129,7 @@ def agg_weighted_avg(spark, sf_dir):
     oracle="""
 SELECT event_id, user_id,
        round((value - mavg) / NULLIF(msd, 0), 4) AS zscore,
-       abs(value - mavg) > 2 * msd AS is_anomaly
+       COALESCE(abs(value - mavg) > 2 * msd, FALSE) AS is_anomaly
 FROM (
   SELECT event_id, user_id, value,
          AVG(value) OVER w AS mavg,
@@ -144,7 +149,13 @@ def window_moving_zscore(spark, sf_dir):
 
     Rounded to 4 dp: windowed variance is numerically touchier than
     sums (no decimal path for stddev), and 4 dp is far above both
-    engines' accumulated error while still pinning the math."""
+    engines' accumulated error while still pinning the math.
+    ``is_anomaly`` is COALESCEd to FALSE where the window has a single
+    row (stddev undefined): a NULL boolean cell materializes
+    differently across pandas paths (object None vs NA), which is the
+    r3-sweep NULL-vs-NaN stringification hazard — an undefined-stddev
+    point is definitionally not an observed anomaly, so FALSE is also
+    the semantically right answer."""
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -168,9 +179,10 @@ def window_moving_zscore(spark, sf_dir):
                 / F.when(F.col("msd") != 0, F.col("msd")),
                 4,
             ).alias("zscore"),
-            (F.abs(F.col("value") - F.col("mavg")) > 2 * F.col("msd")).alias(
-                "is_anomaly"
-            ),
+            F.coalesce(
+                F.abs(F.col("value") - F.col("mavg")) > 2 * F.col("msd"),
+                F.lit(False),
+            ).alias("is_anomaly"),
         )
         .orderBy("event_id")
     )

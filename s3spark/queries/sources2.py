@@ -113,7 +113,10 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_array",
     oracle="""
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       array_to_string(
+         list_transform(list_sort(list(DISTINCT c_nationkey)),
+                        x -> CAST(x AS VARCHAR)),
+         ',') AS nations,
        COUNT(*) AS n_custs
 FROM customer
 WHERE c_custkey < 500
@@ -124,14 +127,23 @@ ORDER BY c_mktsegment
 def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_set + array_sort (sorted for
     determinism — collect order is partition-dependent, the sort makes
-    the VALUE canonical).  The nested-result shape feature pipelines
-    use to pack per-group context into one row.  Bounded: distinct
-    nation keys per segment, never the raw rows."""
+    the VALUE canonical), emitted as a canonical CSV string so every
+    output cell is a hashable scalar for the binding harness (list
+    cells break its pandas sort-then-hash — round-4 driver err class).
+    The nested-result shape feature pipelines use to pack per-group
+    context into one row.  Bounded: distinct nation keys per segment,
+    never the raw rows."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
     return (
         c.groupBy("c_mktsegment")
         .agg(
-            F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("c_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n_custs"),
         )
         .orderBy("c_mktsegment")

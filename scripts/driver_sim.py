@@ -1,5 +1,17 @@
-"""Ad-hoc driver-sim for a named subset of registry keys at sf0.01."""
+"""Driver-sim: run registry keys through the driver-faithful
+comparator (tests.helpers — raw-frame pandas sort_values, so
+list-valued output cells fail here EXACTLY as they fail the driver's
+canonicalizer; see CORRECTNESS_r04 embedding_centroids err).
+
+Usage:
+    python scripts/driver_sim.py               # the expected next
+                                               # driver window (first
+                                               # 50 post-rotation keys)
+    python scripts/driver_sim.py --all         # whole registry
+    python scripts/driver_sim.py key1 key2 ... # named keys
+"""
 import sys
+import time
 
 import duckdb
 
@@ -8,16 +20,17 @@ from pyspark.sql import SparkSession
 
 import s3spark.queries  # noqa: F401
 from s3spark.registry import REGISTRY
-from tests.helpers import assert_same  # reuse the harness comparator
+from tests.helpers import assert_same  # the driver-faithful comparator
 
-KEYS = sys.argv[1:] or [
-    "dedup_semdedup",
-    "quality_classifier_hashed",
-    "bpe_train_unrolled",
-    "agg_kmv_distinct",
-    "scan_manifest_prune",
-    "stream_foreach_batch_upsert",
-]
+WINDOW = 50  # the driver verifies ~50 keys per round, registration order
+
+argv = sys.argv[1:]
+if argv == ["--all"]:
+    KEYS = list(REGISTRY)
+elif argv:
+    KEYS = argv
+else:
+    KEYS = list(REGISTRY)[:WINDOW]
 
 SF = "/root/testdata/sf0.01"
 spark = (
@@ -35,17 +48,19 @@ for t in (
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 fails = []
+t0 = time.time()
 for k in KEYS:
     q = REGISTRY[k]
     try:
         df = q.fn(spark, SF)
         if q.oracle is None:
-            print(f"{k}: rows-only, {df.count()} rows")
+            print(f"{k}: rows-only, {df.count()} rows", flush=True)
             continue
         assert_same(df, con, q.oracle, name=k)
-        print(f"{k}: PASS")
+        print(f"{k}: PASS", flush=True)
     except Exception as exc:  # noqa: BLE001
-        print(f"{k}: FAIL {type(exc).__name__}: {str(exc)[:400]}")
+        print(f"{k}: FAIL {type(exc).__name__}: {str(exc)[:400]}", flush=True)
         fails.append(k)
+print(f"-- {len(KEYS)} keys in {time.time() - t0:.1f}s")
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)

@@ -68,18 +68,71 @@ def test_fixture_has_all_five_order_priorities():
     """sql_transpose's oracle names all five o_orderpriority values as
     output columns, so the key is coupled to this fixture invariant —
     pin it so a fixture change fails HERE with a clear message, not in
-    the key with an opaque schema mismatch."""
+    the key with an opaque schema mismatch.  Reads the same fixture
+    dir as the rest of the suite (S3SPARK_TEST_SF_DIR honored — round-4
+    ADVICE item 3)."""
     import duckdb
+
+    from tests.conftest import SF_DIR
 
     vals = {
         r[0]
         for r in duckdb.connect()
         .execute(
-            "SELECT DISTINCT o_orderpriority FROM "
-            "'/root/testdata/sf0.01/orders.parquet'"
+            f"SELECT DISTINCT o_orderpriority FROM '{SF_DIR}/orders.parquet'"
         )
         .fetchall()
     }
     assert vals == {
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
     }
+
+
+def test_comparator_reproduces_driver_list_cell_failure():
+    """Fidelity pin for the harness comparator (round-4 verdict item
+    2): the REAL driver dies with ``TypeError: unhashable type:
+    'list'`` inside pandas sort_values when an output column holds
+    arrays — the old comparator list→tuple'd cells and hid that, which
+    is why round 4's "driver-sim PASS" failed to predict two driver
+    errs.  Assert the comparator now fails on list cells the way the
+    driver does (multi-column lexsort path AND the single-column
+    path, where the rejection comes from cell canonicalization)."""
+    import pandas as pd
+    import pytest
+
+    from tests.helpers import normalize
+
+    multi = pd.DataFrame({"a": [1, 2], "v": [[1, 2], [3, 4]]})
+    with pytest.raises(TypeError, match="unhashable"):
+        normalize(multi)
+    single = pd.DataFrame({"v": [[1, 2], [3, 4]]})
+    with pytest.raises(TypeError, match="unhashable"):
+        normalize(single)
+
+
+def test_every_key_output_schema_is_driver_hashable(spark, sf_dir):
+    """The driver canonicalizes every result via pandas
+    sort_values-then-hash, which throws ``TypeError: unhashable type``
+    on list/map/struct cells (CORRECTNESS_r04: embedding_centroids,
+    embedding_quantize_int8).  Gate the WHOLE registry: no key may
+    declare a nested top-level output column — melt to rows or
+    array_join to a canonical string instead.  This makes the round-4
+    err class unshippable for future keys (round-4 verdict item 7)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in sorted(REGISTRY):
+        if name == "stream_watermark_dedup":
+            continue  # executes a streaming job; its flat schema is
+            # pinned by its own oracle test
+        df = REGISTRY[name].fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "driver-unhashable nested output columns:\n" + "\n".join(offenders)
+    )
