@@ -117,6 +117,9 @@ _DIRTY_KEYS = frozenset({
     "embedding_centroids",
     "embedding_quantize_int8",
     "agg_collect_array",
+    # round-5 rewrite: mean log-prob now sums decimal(25,6) partials
+    # (round-4 ADVICE item 2); its green r4 row predates the change:
+    "text_bigram_logprob",
 })
 
 

@@ -180,7 +180,8 @@ vocab AS (
 )
 SELECT bg.doc_id,
        COUNT(*) AS n_bigrams,
-       round(AVG(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v))), 6)
+       round(CAST(SUM(CAST(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v))
+                           AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
          AS avg_logprob
 FROM bg
 JOIN c2 USING (w1, w2)
@@ -200,7 +201,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions score low, the standard cheap perplexity filter.  The
     count tables are vocabulary²-bounded and broadcast; the only
     big-side shuffle is the per-(w1,w2) aggregate over the exploded
-    bigram stream."""
+    bigram stream.  The per-bigram log-probs sum through the repo's
+    decimal(25,6)-partials recipe before dividing (round-4 ADVICE):
+    each term is identically 6-dp-quantized on both engines, so the
+    mean is independent of summation order — a plain double AVG relies
+    on end-rounding to absorb cross-engine ulp drift and can flake
+    when a doc's mean lands near a rounding boundary."""
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 2
@@ -227,7 +233,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

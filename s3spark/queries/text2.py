@@ -29,7 +29,8 @@ tot AS (SELECT SUM(c) AS t FROM freq)
 SELECT
   tok.doc_id,
   COUNT(*) AS n_tokens,
-  round(AVG(ln(freq.c / tot.t)), 6) AS avg_logprob
+  round(CAST(SUM(CAST(ln(freq.c / tot.t) AS DECIMAL(25,6))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_logprob
 FROM tok JOIN freq USING (word) CROSS JOIN tot
 GROUP BY tok.doc_id
 ORDER BY tok.doc_id
@@ -40,7 +41,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its tokens under the corpus unigram distribution — the cheapest
     perplexity proxy used to rank/filter training documents.  The
     frequency table is tiny (vocabulary-sized) and broadcast; documents
-    with rare-token soup score low, stereotypical ones score high."""
+    with rare-token soup score low, stereotypical ones score high.
+    Per-token log-probs sum through decimal(25,6) partials before the
+    divide (round-4 ADVICE): the mean is then summation-order-free on
+    both engines instead of leaning on end-rounding."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
@@ -54,7 +58,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

@@ -344,3 +344,71 @@ def test_kmeans_partitions_whole_corpus(spark, sf_dir):
     # averaged centroids of spread-out points shrink toward the mean:
     # every norm must be below the max raw-vector norm
     assert all(0 < r.centroid_norm < 10 for r in out)
+
+
+def test_dedup_exact_normalized_nonvacuous_at_sf01(spark):
+    """Round-4 ADVICE item 1: sf0.01 has ZERO normalized-duplicate
+    groups, so the driver's differential for dedup_exact_normalized is
+    vacuous there (both engines emit 0 rows — certifies nothing about
+    the normalize/tie-break logic).  Run the same full differential at
+    sf0.1, where real normalization-variant groups exist, and require
+    the result be non-empty so a regression in the regex chain or
+    keeper tie-break is actually observable."""
+    import duckdb
+
+    from tests.helpers import assert_same
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        q = REGISTRY["dedup_exact_normalized"]
+        df = q.fn(spark, sf)
+        assert df.count() > 0, (
+            "sf0.1 lost its normalized-duplicate groups — the "
+            "differential is vacuous again; re-pin on a fixture that has "
+            "real groups"
+        )
+        assert_same(df, con, q.oracle, "dedup_exact_normalized@sf0.1")
+    finally:
+        con.close()
+
+
+def test_approx_distinct_within_tolerance_of_exact_and_duckdb(spark, duck, sf_dir):
+    """agg_approx_distinct (rows-only key — HLL++ register contents are
+    engine-private, so an exact value-hash oracle is impossible by
+    construction).  Round-4 verdict item 6: upgrade its evidence from
+    "executes" to a bounded relaxed-tolerance differential — per
+    priority group the Spark estimate must sit within 3×rsd of the
+    EXACT distinct count, and within a combined 2×(rsd_s+rsd_d) band
+    of DuckDB's own HLL (approx_count_distinct), both engines sketching
+    the same input."""
+    from s3spark.registry import REGISTRY
+
+    rows = {
+        r.o_orderpriority: r.approx_customers
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    duck_est = dict(
+        duck.execute(
+            "SELECT o_orderpriority, approx_count_distinct(o_custkey) "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(rows) == set(exact)
+    for prio, est in rows.items():
+        # Spark key uses rsd=0.01; DuckDB's default HLL is ~0.016
+        assert abs(est - exact[prio]) / exact[prio] < 3 * 0.01, (
+            f"{prio}: spark HLL {est} vs exact {exact[prio]}"
+        )
+        assert abs(est - duck_est[prio]) / exact[prio] < 2 * (0.01 + 0.016), (
+            f"{prio}: spark HLL {est} vs duckdb HLL {duck_est[prio]}"
+        )
