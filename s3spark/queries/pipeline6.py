@@ -1,0 +1,286 @@
+"""Round-5 training-data pipeline operators: leakage-safe splitting,
+tokenizer vocabulary coverage, robust (MAD) length outlier gating, and
+the GROUP BY ALL SQL-surface parity point.
+
+- ``split_leakage_safe``: the train/val/test split step done RIGHT for
+  an LLM corpus — duplicate documents must co-assign to one split or
+  the held-out set leaks training content.  Normalized-duplicate
+  groups (the dedup_exact_normalized equivalence classes) pick a
+  representative, and the whole group splits on the md5 of the
+  representative — deterministic across engines AND partitionings,
+  and leakage-free by construction.
+- ``tokenizer_vocab_coverage``: per-document out-of-vocabulary rate
+  against the corpus top-K word vocabulary — the coverage check run
+  before committing to a tokenizer vocab (high-OOV docs either get
+  filtered or force a vocab rebuild).
+- ``quality_length_outlier_mad``: per-source robust outlier gate on
+  document length via median absolute deviation — median/MAD survive
+  the heavy-tailed length distributions that make mean/stddev gates
+  useless on scraped corpora.
+- ``sql_groupby_all``: Spark 4 / DuckDB shared modern-SQL surface —
+  GROUP BY ALL infers grouping keys from the non-aggregate SELECT
+  items (probed supported in both engines this round).
+
+Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
+has no relational surface; these extend SURVEY.md §2.3 J and the SQL
+surface per the north star's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+# --------------------------------------------------------------------------
+# split_leakage_safe
+# --------------------------------------------------------------------------
+
+# 80/10/10 split on the first 8 md5 hex nibbles of the group
+# REPRESENTATIVE: 0.8*2^32 = 0xCCCCCCCC, 0.9*2^32 = 0xE6666666.
+# Lowercase-hex string comparison == numeric comparison, and both
+# engines md5 the same VARCHAR bytes — the corpus_mix_weighted_sample
+# portability recipe.
+_SPLIT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, h,
+         MIN(doc_id) OVER (PARTITION BY h) AS rep_doc_id
+  FROM norm
+)
+SELECT doc_id, rep_doc_id,
+       CASE WHEN substr(md5(CAST(rep_doc_id AS VARCHAR)), 1, 8)
+                 < 'cccccccc' THEN 'train'
+            WHEN substr(md5(CAST(rep_doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+ORDER BY doc_id
+"""
+
+
+@register("split_leakage_safe", oracle=_SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: normalized-duplicate groups
+    (CCNet normalize-then-hash, the dedup_exact_normalized classes)
+    co-assign to ONE split by hashing the group representative (min
+    doc_id), so no near-identical pair can straddle train and test —
+    the contamination a naive per-doc random split ships silently.
+
+    Engine shape: one window-min shuffle keyed on the 32-hex digest
+    (never the text), then pure row-local md5 threshold arithmetic.
+    Deterministic across engines, partitionings, and reruns — the
+    split is a FUNCTION of content, which is what makes incremental
+    corpus refreshes reproducible at 100 TB.  Split fractions ride on
+    md5 uniformity (hex thresholds = 0.8/0.9 of 2^32)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    rep = d.select("doc_id", h.alias("h")).withColumn(
+        "rep_doc_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    frac = F.substring(F.md5(F.col("rep_doc_id").cast("string")), 1, 8)
+    return (
+        rep.select(
+            "doc_id",
+            "rep_doc_id",
+            F.when(frac < "cccccccc", "train")
+            .when(frac < "e6666666", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer_vocab_coverage
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 500
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+vocab AS (SELECT word FROM freq ORDER BY c DESC, word LIMIT {_VOCAB_K})
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE vocab.word IS NULL) AS n_oov,
+       round(COUNT(*) FILTER (WHERE vocab.word IS NULL) * 1.0 / COUNT(*), 6)
+         AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.word = vocab.word
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@register("tokenizer_vocab_coverage", oracle=_VOCAB_ORACLE)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-K word vocabulary
+    (K=500, ties broken by word so the vocab is deterministic) — the
+    coverage audit before freezing a tokenizer: documents with high
+    out-of-vocabulary mass either get filtered or argue for a bigger
+    vocab.
+
+    Engine shape: the frequency table is vocabulary-bounded; its
+    global top-K sort runs on that bounded table, and the selected
+    vocab broadcasts back onto the token stream — the only big-side
+    shuffle is the per-word count, identical to the other corpus-stat
+    keys.  At 100 TB the token stream never re-shuffles for the
+    join."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _VOCAB_K)
+        .select(F.col("word").alias("vword"))
+    )
+    joined = tok.join(
+        F.broadcast(vocab), tok.word == vocab.vword, "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("vword").isNull(), F.lit(1))).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("vword").isNull(), F.lit(1)))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# quality_length_outlier_mad
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.n_chars, abs(d.n_chars - med.med) AS adev
+  FROM documents d JOIN med USING (source)
+),
+mad AS (
+  SELECT source, median(adev) AS mad FROM dev GROUP BY source
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       round(m.med, 6) AS med_chars,
+       round(mm.mad, 6) AS mad_chars,
+       COUNT(*) FILTER (
+         WHERE abs(d.n_chars - m.med) > 3 * 1.4826 * mm.mad
+       ) AS n_outliers
+FROM documents d JOIN med m USING (source) JOIN mad mm USING (source)
+GROUP BY d.source, m.med, mm.mad
+ORDER BY d.source
+"""
+
+
+@register("quality_length_outlier_mad", oracle=_MAD_ORACLE)
+def quality_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier gate: median + median absolute
+    deviation, flagging docs beyond 3 scaled MADs (1.4826 ≈ the
+    normal-consistency constant).  Median/MAD are the estimators that
+    survive the heavy-tailed length distributions of scraped corpora,
+    where a handful of mega-documents wreck a mean/stddev gate.
+
+    Exact medians via linear-interpolated ``percentile`` on both
+    engines (probed bit-identical on integer inputs: even-count
+    midpoints are exact .5 doubles).  Engine shape: two bounded
+    per-source aggregates over a scan that carries only (source,
+    n_chars) — at 100 TB the exact median would become
+    approx_percentile, which is the declared sketch alternative
+    (agg_approx_percentile)."""
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), F.lit(1)
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("med", 6).alias("med_chars"),
+            F.round("mad", 6).alias("mad_chars"),
+            "n_outliers",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# sql_groupby_all
+# --------------------------------------------------------------------------
+
+_GBA_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("sql_groupby_all", oracle=_GBA_ORACLE)
+def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — grouping keys inferred from the non-aggregate
+    SELECT items, the modern-SQL ergonomics both Spark 4 and DuckDB
+    share (probed supported in both this round).  Same decimal-partial
+    sum discipline as every float aggregate in the repo.  Plan-wise
+    identical to an explicit GROUP BY: partial + final hash aggregate,
+    nothing extra to pay for the sugar."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gba_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 AS total
+        FROM orders_gba_v
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

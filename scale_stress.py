@@ -82,7 +82,11 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             "join_fuzzy_edit_distance",
             # round-4e: docs-driven bigram LM; events-driven
             # bidirectional as-of (10x events sf0.01->sf0.1)
-            "text_bigram_logprob", "join_asof_nearest"]
+            "text_bigram_logprob", "join_asof_nearest",
+            # round-5: leakage-safe split (one digest-keyed window
+            # shuffle) and vocab-coverage (word-count shuffle +
+            # broadcast top-K join)
+            "split_leakage_safe", "tokenizer_vocab_coverage"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
