@@ -284,3 +284,120 @@ def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# agg_moments_skew_kurtosis
+# --------------------------------------------------------------------------
+
+# Exact scaled central moments from integer power sums (all integer
+# arithmetic, no float accumulation):
+#   M2 = n*p2 - p1^2                      (= n^2 * variance*n/n = n^2*m2)
+#   M3 = n^2*p3 - 3n*p2*p1 + 2*p1^3       (= n^3 * m3)
+#   M4 = n^3*p4 - 4n^2*p3*p1 + 6n*p2*p1^2 - 3*p1^4   (= n^4 * m4)
+# then skew g1 = m3/m2^1.5 = M3/M2^1.5 and excess kurtosis
+# g2 = m4/m2^2 - 3 = M4/M2^2 - 3 — the n-powers cancel exactly.
+# DuckDB computes the sums in HUGEINT (int128), Spark in DECIMAL(38,0);
+# magnitudes stay < 1e38 at sf1 (checked in the docstring), so both
+# are EXACT and the M columns hash as plain digit strings.
+_MOMENTS_ORACLE = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS p1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS HUGEINT) AS p2,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS p3,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS HUGEINT) AS p4
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         n * p2 - p1 * p1 AS m2s,
+         n * n * p3 - 3 * n * p2 * p1 + 2 * p1 * p1 * p1 AS m3s,
+         n * n * n * p4 - 4 * n * n * p3 * p1
+           + 6 * n * p2 * p1 * p1 - 3 * p1 * p1 * p1 * p1 AS m4s
+  FROM p
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(m2s AS VARCHAR) AS m2_scaled,
+       CAST(m3s AS VARCHAR) AS m3_scaled,
+       CAST(m4s AS VARCHAR) AS m4_scaled,
+       round(CAST(m3s AS DOUBLE)
+             / NULLIF(sqrt(CAST(m2s AS DOUBLE) * CAST(m2s AS DOUBLE)
+                           * CAST(m2s AS DOUBLE)), 0), 6) AS skewness,
+       round(CAST(m4s AS DOUBLE)
+             / NULLIF(CAST(m2s AS DOUBLE) * CAST(m2s AS DOUBLE), 0)
+             - 3, 6) AS kurtosis_excess
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_moments_skew_kurtosis", oracle=_MOMENTS_ORACLE)
+def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling: per-group skewness and excess
+    kurtosis computed PORTABLY — integer power sums p1..p4 (exact:
+    DECIMAL(38,0) here, HUGEINT in the oracle), combined into exact
+    scaled central moments M2=n·p2−p1², M3, M4 whose n-powers cancel
+    in g1=M3/M2^1.5 and g2=M4/M2²−3.  The builtin skewness/kurtosis
+    aggregates accumulate FLOATS in partition order — non-reproducible
+    across engines and partitionings; this formulation extends the
+    repo's decimal-partials recipe to higher moments.
+
+    Float ops are confined to the final ratio, built only from
+    IEEE-deterministic primitives: decimal→double cast, multiply,
+    divide, and sqrt (correctly rounded by IEEE-754 — used instead of
+    pow(x,1.5), which libm and the JVM may round differently in the
+    last ulp).  Magnitude check at sf1: p4 ≤ 50⁴·6M ≈ 3.8e13,
+    M4 ≤ n³·p4 ≈ 2e16·3.8e13 ≈ 8e29 < 1e38 — exact in both engines.
+    One partial+final aggregate, shuffle width = |groups|."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d(q)).cast("decimal(38,0)").alias("p1"),
+        F.sum(d(q * q)).cast("decimal(38,0)").alias("p2"),
+        F.sum(d(q * q * q)).cast("decimal(38,0)").alias("p3"),
+        F.sum(d(q * q * q * q)).cast("decimal(38,0)").alias("p4"),
+    )
+    n, p1, p2, p3, p4 = (F.col(c) for c in ("n", "p1", "p2", "p3", "p4"))
+    m = p.select(
+        "l_returnflag",
+        n.alias("nd"),
+        (n * p2 - p1 * p1).cast("decimal(38,0)").alias("m2s"),
+        (n * n * p3 - 3 * n * p2 * p1 + 2 * p1 * p1 * p1)
+        .cast("decimal(38,0)")
+        .alias("m3s"),
+        (
+            n * n * n * p4
+            - 4 * n * n * p3 * p1
+            + 6 * n * p2 * p1 * p1
+            - 3 * p1 * p1 * p1 * p1
+        )
+        .cast("decimal(38,0)")
+        .alias("m4s"),
+    )
+    m2d = F.col("m2s").cast("double")
+    m3d = F.col("m3s").cast("double")
+    m4d = F.col("m4s").cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("nd").cast("long").alias("n"),
+        F.col("m2s").cast("string").alias("m2_scaled"),
+        F.col("m3s").cast("string").alias("m3_scaled"),
+        F.col("m4s").cast("string").alias("m4_scaled"),
+        F.round(
+            m3d / F.when(F.sqrt(m2d * m2d * m2d) != 0, F.sqrt(m2d * m2d * m2d)),
+            6,
+        ).alias("skewness"),
+        F.round(
+            m4d / F.when(m2d * m2d != 0, m2d * m2d) - 3, 6
+        ).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

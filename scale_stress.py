@@ -51,7 +51,10 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              "window_islands_value_runs", "join_null_aware_anti_shuffled",
              # round-4e: lineitem-driven BFS (frontier joins over the
              # checkpointed edge table)
-             "graph_bfs_distance"]
+             "graph_bfs_distance",
+             # round-5: exact-integer power-sum moments (one
+             # partial+final agg, shuffle width = |groups|)
+             "agg_moments_skew_kurtosis"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth

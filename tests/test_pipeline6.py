@@ -115,3 +115,114 @@ def test_vocab_join_is_broadcast_and_covers_all_tokens(spark, sf_dir):
         .count()
     )
     assert total == expected
+
+
+# ---------------------------------------------------------------------------
+# Random-input differentials: run the REGISTERED oracle for the new
+# keys on hypothesis-generated corpora, so cross-engine agreement on
+# the normalize/tie-break/median logic cannot be a fixture artifact.
+# Deliberately overweighted hazards: case/punctuation/spacing variants
+# that collapse under normalization, ALL-punctuation docs that
+# normalize to the empty string (they form ONE group by design — the
+# "trivial document" class co-assigns), duplicate texts, and
+# majority-identical lengths that drive MAD to 0.
+# ---------------------------------------------------------------------------
+
+import os
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_RSETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+_TEXTS = st.lists(
+    st.text(alphabet="aB x.,!?", min_size=0, max_size=10),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _mk_docs(spark, tmp_path, texts, lengths=None):
+    rows = [
+        {
+            "doc_id": i,
+            "text": t,
+            "lang": "en",
+            "source": f"src{i % 2}",
+            "n_chars": (lengths[i] if lengths else len(t)),
+        }
+        for i, t in enumerate(texts)
+    ]
+    d = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    return con
+
+
+@settings(**_RSETTINGS)
+@given(texts=_TEXTS)
+def test_split_leakage_safe_random_corpora(spark, tmp_path_factory, texts):
+    from tests.helpers import assert_same
+
+    tmp = tmp_path_factory.mktemp("randsplit")
+    con = _mk_docs(spark, tmp, texts)
+    q = REGISTRY["split_leakage_safe"]
+    try:
+        assert_same(q.fn(spark, str(tmp)), con, q.oracle, "split@random")
+    finally:
+        con.close()
+
+
+@settings(**_RSETTINGS)
+@given(
+    lengths=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=2, max_size=20
+    )
+)
+def test_mad_outlier_random_lengths(spark, tmp_path_factory, lengths):
+    """Pins the exact-percentile/MAD agreement on adversarial length
+    multisets (all-identical → MAD 0 → every deviation an outlier)."""
+    from tests.helpers import assert_same
+
+    tmp = tmp_path_factory.mktemp("randmad")
+    texts = [f"doc {i}" for i in range(len(lengths))]
+    con = _mk_docs(spark, tmp, texts, lengths=lengths)
+    q = REGISTRY["quality_length_outlier_mad"]
+    try:
+        assert_same(q.fn(spark, str(tmp)), con, q.oracle, "mad@random")
+    finally:
+        con.close()
+
+
+def test_moments_match_numpy(spark, sf_dir):
+    """Independent pin for agg_moments_skew_kurtosis: numpy computes
+    g1/g2 from the raw column per group; the engine's exact-integer
+    formulation must agree to the rounding precision."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    out = {
+        r.l_returnflag: r
+        for r in REGISTRY["agg_moments_skew_kurtosis"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(t.l_returnflag.unique())
+    for flag, grp in t.groupby("l_returnflag"):
+        x = grp.l_quantity.to_numpy(dtype=np.float64)
+        m2 = ((x - x.mean()) ** 2).mean()
+        g1 = ((x - x.mean()) ** 3).mean() / m2**1.5
+        g2 = ((x - x.mean()) ** 4).mean() / m2**2 - 3
+        assert abs(out[flag].skewness - g1) < 1e-4, flag
+        assert abs(out[flag].kurtosis_excess - g2) < 1e-4, flag
+        assert out[flag].n == len(x)
