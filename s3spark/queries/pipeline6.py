@@ -401,3 +401,84 @@ def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             m4d / F.when(m2d * m2d != 0, m2d * m2d) - 3, 6
         ).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# text_langid_char_ngram
+# --------------------------------------------------------------------------
+
+# 30 high-frequency English character trigrams.  Hit counts use the
+# replace-shrink trick — (len(s) - len(replace(s, tg, ''))) / 3 —
+# which counts NON-overlapping occurrences identically in both
+# engines: the whole scorer is a row-local literal fold, zero shuffle,
+# zero explode.
+_EN_TRIGRAMS = [
+    "the", "and", "ing", "ent", "ion", "her", "for", "tha", "nth",
+    "int", "ere", "tio", "ter", "est", "ers", "ati", "hat", "ate",
+    "all", "eth", "ver", "his", "ith", "res", "ont", "era", "ble",
+    "rat", "tab", "ort",
+]
+# tau = 0.01: measured on the fixture, the nearest doc score is
+# 0.010309 (gap 3e-4) and 10/500 docs fall below — a real 'unk' class
+# with no boundary-rounding hazard (both engines compare identical
+# doubles; no rounding happens before the comparison).
+_LANGID_TAU = 0.01
+
+_LANGID_HITS_SQL = " + ".join(
+    f"(length(s) - length(replace(s, '{t}', ''))) // 3"
+    for t in _EN_TRIGRAMS
+)
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, lower(text) AS s FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST({_LANGID_HITS_SQL} AS BIGINT) AS n_hits,
+         ({_LANGID_HITS_SQL}) * 1.0 / greatest(length(s) - 2, 1) AS score
+  FROM t
+)
+SELECT doc_id, lang, n_hits,
+       round(score, 6) AS en_trigram_score,
+       CASE WHEN score >= {_LANGID_TAU} THEN 'en' ELSE 'unk' END AS lang_guess
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("text_langid_char_ngram", oracle=_LANGID_ORACLE)
+def text_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID — the classic trigram-profile
+    heuristic (complementing ``text_lang_quality``'s stopword-ratio
+    variant): score = non-overlapping hits of 30 high-frequency
+    English trigrams per character position, threshold into en/unk.
+
+    Engine shape: the scorer is a fold of 30 literal replace-shrink
+    counts — row-local, codegen'd, ZERO shuffle and ZERO explode (a
+    trigram explode would multiply the corpus ~200×; the fold touches
+    each document once).  The comparison happens on the UNROUNDED
+    score: both engines derive it from the same integer length
+    arithmetic, so the decision is deterministic; only the reported
+    score column is rounded."""
+    d = table(spark, sf_dir, "documents")
+    s = F.lower(F.col("text"))
+    counts = [
+        (F.length(s) - F.length(F.replace(s, F.lit(t)))) / 3
+        for t in _EN_TRIGRAMS
+    ]
+    hits = counts[0]
+    for c in counts[1:]:
+        hits = hits + c
+    score = hits * F.lit(1.0) / F.greatest(
+        F.length(s) - 2, F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        hits.cast("long").alias("n_hits"),
+        F.round(score, 6).alias("en_trigram_score"),
+        F.when(score >= _LANGID_TAU, "en").otherwise("unk").alias(
+            "lang_guess"
+        ),
+    ).orderBy("doc_id")

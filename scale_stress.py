@@ -87,9 +87,10 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # bidirectional as-of (10x events sf0.01->sf0.1)
             "text_bigram_logprob", "join_asof_nearest",
             # round-5: leakage-safe split (one digest-keyed window
-            # shuffle) and vocab-coverage (word-count shuffle +
-            # broadcast top-K join)
-            "split_leakage_safe", "tokenizer_vocab_coverage"]
+            # shuffle), vocab-coverage (word-count shuffle + broadcast
+            # top-K join), and the zero-shuffle trigram langid fold
+            "split_leakage_safe", "tokenizer_vocab_coverage",
+            "text_langid_char_ngram"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -10,6 +10,7 @@ Usage:
     python scripts/driver_sim.py --all         # whole registry
     python scripts/driver_sim.py key1 key2 ... # named keys
 """
+import os
 import sys
 import time
 
@@ -33,9 +34,14 @@ else:
     KEYS = list(REGISTRY)[:WINDOW]
 
 SF = "/root/testdata/sf0.01"
+# S3SPARK_SIM_PARTITIONS: run the sim under a different shuffle
+# partitioning (the driver's session is NOT ours — a key whose output
+# depends on partition order would pass at 8 and fail at the driver's
+# count; sweeping an odd count here smokes that out)
+_PARTS = os.environ.get("S3SPARK_SIM_PARTITIONS", "8")
 spark = (
     SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.shuffle.partitions", _PARTS)
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 )

@@ -226,3 +226,26 @@ def test_moments_match_numpy(spark, sf_dir):
         assert abs(out[flag].skewness - g1) < 1e-4, flag
         assert abs(out[flag].kurtosis_excess - g2) < 1e-4, flag
         assert out[flag].n == len(x)
+
+
+def test_langid_char_ngram_separates_english_from_noise(spark, tmp_path_factory):
+    """Planted behavioral pin: an English sentence scores en, symbol
+    noise and digit soup score unk."""
+    d = tmp_path_factory.mktemp("langid")
+    rows = [
+        {"doc_id": 0,
+         "text": "the thing that the other thing was for the entire nation",
+         "lang": "en", "source": "src0", "n_chars": 56},
+        {"doc_id": 1, "text": "#### $$$$ 12345 !!!! ....", "lang": "xx",
+         "source": "src0", "n_chars": 25},
+        {"doc_id": 2, "text": "zzz qqq kkk vvv www yyy", "lang": "xx",
+         "source": "src0", "n_chars": 23},
+    ]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_langid_char_ngram"].fn(spark, str(d)).collect()
+    }
+    assert out[0].lang_guess == "en" and out[0].n_hits >= 5
+    assert out[1].lang_guess == "unk" and out[1].n_hits == 0
+    assert out[2].lang_guess == "unk"
