@@ -482,3 +482,280 @@ def text_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_guess"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# window_rolling_median
+# --------------------------------------------------------------------------
+
+_RMED_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       round(median(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("window_rolling_median", oracle=_RMED_ORACLE)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (trailing 5-row frame per customer) — the
+    robust rolling statistic the moving-average family can't provide
+    (window_moving_zscore is mean/stddev; a single price spike drags
+    those but not this).  Probed this round: BOTH engines support an
+    exact percentile/median aggregate as a window function over ROWS
+    frames, with identical linear interpolation on even counts — so
+    the key is fully oracle'd, no approximation.
+
+    Engine shape: one (o_custkey) hash exchange + one in-partition
+    sort feeds both window aggregates; frame state is 5 rows per key.
+    At 100 TB the trailing frame evaluates streaming within sorted
+    partitions — same cost class as window_running."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.expr(
+                "percentile(o_totalprice, 0.5) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+            ),
+            6,
+        ).alias("rolling_median"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# join_spatial_grid
+# --------------------------------------------------------------------------
+
+# Deterministic synthetic coordinates: x = first 4 md5 nibbles /
+# 65536, y = next 4 — identical rationals on both engines.  Radius
+# search via grid blocking: cell size == radius, candidates from the
+# 3x3 neighborhood equi-join, exact distance residual.
+_SP_N = 2000
+_SP_R = 0.02
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT)
+           / 65536.0 AS x,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 5, 4) AS BIGINT)
+           / 65536.0 AS y
+  FROM events WHERE event_id < {_SP_N}
+),
+cells AS (
+  SELECT event_id, x, y,
+         CAST(floor(x / {_SP_R}) AS BIGINT) AS cx,
+         CAST(floor(y / {_SP_R}) AS BIGINT) AS cy
+  FROM pts
+),
+probe AS (
+  SELECT c.event_id, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+  FROM cells c,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+         AS dist
+FROM probe a JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+WHERE a.event_id < b.event_id
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_SP_R} * {_SP_R}
+ORDER BY id_a, id_b
+"""
+
+
+@register("join_spatial_grid", oracle=_SPATIAL_ORACLE)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (all pairs within r) via GRID BLOCKING — the 2-D
+    generalization of the repo's banded interval joins: cell size = r,
+    each probe point expands to its 3×3 cell neighborhood (a bounded
+    9× fan-out), candidates come from a plain equi-join on the cell
+    key, and the exact Euclidean residual filters.  Never a cross
+    join: candidate count is O(points per cell × 9), the same
+    O(matches) shape join_range_bucketed proved in 1-D.
+
+    Coordinates are synthesized from md5 nibbles (/65536 rationals) so
+    both engines derive bit-identical doubles; the residual compares
+    identical doubles against the identical r² literal — no boundary
+    hazard.  At 100 TB this is the standard spatial-join plan: cells
+    partition uniformly (md5), skewed cells would salt exactly like
+    any hot join key."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_id") < _SP_N
+    )
+    hx = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+    hy = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 5, 4), 16, 10)
+    pts = e.select(
+        "event_id",
+        (hx.cast("long") / 65536.0).alias("x"),
+        (hy.cast("long") / 65536.0).alias("y"),
+    )
+    cells = pts.select(
+        "event_id", "x", "y",
+        F.floor(F.col("x") / _SP_R).alias("cx"),
+        F.floor(F.col("y") / _SP_R).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(array(-1L, 0L, 1L))"
+    )
+    probe = (
+        cells.select("event_id", "x", "y", "cx", "cy", offsets.alias("dx"))
+        .select(
+            "event_id", "x", "y", "dx",
+            (F.col("cx") + F.col("dx")).alias("ncx"), "cy",
+        )
+        .select(
+            "event_id", "x", "y", "ncx",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy2"),
+            "cy",
+        )
+        .select(
+            "event_id", "x", "y", "ncx",
+            (F.col("cy") + F.col("dy2")).alias("ncy"),
+        )
+    )
+    b = cells.select(
+        F.col("event_id").alias("id_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx", "cy",
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    return (
+        probe.join(
+            b,
+            (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
+        )
+        .filter((F.col("event_id") < F.col("id_b")) & (d2 <= _SP_R * _SP_R))
+        .select(
+            F.col("event_id").alias("id_a"),
+            "id_b",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# training_prep_e2e
+# --------------------------------------------------------------------------
+
+_PREP_ORACLE = """
+WITH kept AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+    AND length(replace(text, ' ', '')) * 1.0
+        / len(string_split(text, ' ')) BETWEEN 2 AND 12
+),
+norm AS (
+  SELECT doc_id, n_toks,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS h
+  FROM kept
+),
+rep AS (
+  SELECT doc_id, n_toks,
+         MIN(doc_id) OVER (PARTITION BY h) AS rep_doc_id
+  FROM norm
+),
+assigned AS (
+  SELECT n_toks,
+         CASE WHEN substr(md5(CAST(rep_doc_id AS VARCHAR)), 1, 8)
+                   < 'cccccccc' THEN 'train'
+              WHEN substr(md5(CAST(rep_doc_id AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM rep
+),
+agg AS (
+  SELECT split, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+  FROM assigned GROUP BY split
+)
+SELECT split, n_docs, total_tokens,
+       round(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share
+FROM agg
+ORDER BY split
+"""
+
+
+@register("training_prep_e2e", oracle=_PREP_ORACLE)
+def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-set preparation: quality gate (token count
+    and mean-word-length rules, row-local) → leakage-safe
+    train/val/test assignment (normalized-dup groups co-assign, as in
+    split_leakage_safe — computed over the SURVIVORS, so a filtered
+    duplicate can't pull its group's representative) → per-split
+    document and token budget report.  The companion composed key to
+    curation_pipeline_e2e, integrating the round-5 split stage.
+
+    Engine shape: the quality gate and both md5 decisions ride the
+    scan; ONE digest-keyed window shuffle, one |splits|-wide
+    aggregate, and a 3-row window total for the shares.  The big side
+    shuffles once, end to end."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    mean_wlen = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        * F.lit(1.0)
+        / n_toks
+    )
+    kept = d.select("doc_id", "text", n_toks.alias("n_toks")).filter(
+        (n_toks >= 5) & mean_wlen.between(2, 12)
+    )
+    h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    rep = kept.select("doc_id", "n_toks", h.alias("h")).withColumn(
+        "rep_doc_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    frac = F.substring(F.md5(F.col("rep_doc_id").cast("string")), 1, 8)
+    assigned = rep.select(
+        "n_toks",
+        F.when(frac < "cccccccc", "train")
+        .when(frac < "e6666666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    agg = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs")
+            * F.lit(1.0)
+            / F.sum("n_docs").over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("doc_share"),
+    ).orderBy("split")

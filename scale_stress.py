@@ -53,8 +53,9 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # checkpointed edge table)
              "graph_bfs_distance",
              # round-5: exact-integer power-sum moments (one
-             # partial+final agg, shuffle width = |groups|)
-             "agg_moments_skew_kurtosis"]
+             # partial+final agg, shuffle width = |groups|), exact
+             # rolling median (one exchange + sort, 5-row frames)
+             "agg_moments_skew_kurtosis", "window_rolling_median"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -90,7 +91,13 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # shuffle), vocab-coverage (word-count shuffle + broadcast
             # top-K join), and the zero-shuffle trigram langid fold
             "split_leakage_safe", "tokenizer_vocab_coverage",
-            "text_langid_char_ngram"]
+            "text_langid_char_ngram",
+            # composed prep pipeline (one digest shuffle).  NOTE:
+            # join_spatial_grid is NOT on the panel — it bounds to
+            # event_id<2000 at every SF, so a ratio there would
+            # measure nothing (its scale evidence is the plan gate +
+            # brute-force certification instead)
+            "training_prep_e2e"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

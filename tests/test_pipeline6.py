@@ -249,3 +249,69 @@ def test_langid_char_ngram_separates_english_from_noise(spark, tmp_path_factory)
     assert out[0].lang_guess == "en" and out[0].n_hits >= 5
     assert out[1].lang_guess == "unk" and out[1].n_hits == 0
     assert out[2].lang_guess == "unk"
+
+
+def test_spatial_grid_plan_is_equi_join_not_cartesian(spark, sf_dir):
+    """Grid blocking must plan as a hash equi-join on the cell key —
+    never BroadcastNestedLoopJoin/CartesianProduct (the whole point of
+    the 2-D banding)."""
+    plan = (
+        REGISTRY["join_spatial_grid"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """Completeness of the 3x3 neighborhood: grid-blocked pairs must
+    equal the brute-force O(n^2) pair set (cell size == radius makes
+    the neighborhood provably sufficient)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        brute = con.execute("""
+WITH pts AS (
+  SELECT event_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT)
+           / 65536.0 AS x,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 5, 4) AS BIGINT)
+           / 65536.0 AS y
+  FROM events WHERE event_id < 2000
+)
+SELECT COUNT(*) FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02
+""").fetchone()[0]
+        got = REGISTRY["join_spatial_grid"].fn(spark, sf_dir).count()
+        assert got == brute and got > 0
+    finally:
+        con.close()
+
+
+def test_training_prep_single_big_shuffle(spark, sf_dir):
+    """The composed prep pipeline shuffles the document table ONCE
+    (the digest-keyed window); every later exchange operates on
+    |splits|-bounded aggregates."""
+    plan = (
+        REGISTRY["training_prep_e2e"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    big_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(h#" in ln
+    ]
+    assert len(big_exchanges) == 1, plan[:2000]
