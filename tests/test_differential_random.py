@@ -463,3 +463,48 @@ def test_pivot_explicit_values_random(spark, tmp_path_factory, rows):
         """,
         name="pivot_explicit_values_random",
     )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS)
+def test_rolling_median_null_frame_semantics_random(
+    spark, tmp_path_factory, rows
+):
+    """Exact percentile/median as a WINDOW aggregate (the
+    window_rolling_median capability probed in round 5): both engines
+    must skip NULL values inside the frame, return NULL for all-NULL
+    frames, and interpolate identically on even counts.  The frame is
+    ordered by a synthetic UNIQUE id — rolling frames over duplicate
+    order keys would be nondeterministic by construction, so the test
+    (like the registry key) keys the order on a unique column."""
+    tmp = tmp_path_factory.mktemp("diffrand")
+    uniq = [(i, k, v) for i, (k, _s, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        uniq or [(0, None, None)], "id long, k long, v long"
+    )
+    if not uniq:
+        df = df.filter(F.lit(False))
+    path = os.path.join(str(tmp), "t_rmed")
+    df.write.mode("overwrite").parquet(path)
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW t_rmed AS SELECT * FROM '{path}/*.parquet'")
+    got = spark.read.parquet(path).select(
+        "id",
+        F.expr(
+            "round(percentile(v, 0.5) OVER (PARTITION BY k ORDER BY id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)"
+        ).alias("rmed"),
+    ).orderBy("id")
+    assert_same(
+        got,
+        con,
+        """
+        SELECT id,
+               round(median(v) OVER (PARTITION BY k ORDER BY id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rmed
+        FROM t_rmed ORDER BY id
+        """,
+        name="rolling_median_random",
+    )
