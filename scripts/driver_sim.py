@@ -33,7 +33,10 @@ elif argv:
 else:
     KEYS = list(REGISTRY)[:WINDOW]
 
-SF = "/root/testdata/sf0.01"
+# S3SPARK_SIM_SF_DIR: sweep the fixture scale (the differential must
+# hold at EVERY SF, not just the driver's 0.01 — a threshold tuned to
+# one fixture's distribution shows up here)
+SF = os.environ.get("S3SPARK_SIM_SF_DIR", "/root/testdata/sf0.01")
 # S3SPARK_SIM_PARTITIONS: run the sim under a different shuffle
 # partitioning (the driver's session is NOT ours — a key whose output
 # depends on partition order would pass at 8 and fail at the driver's
