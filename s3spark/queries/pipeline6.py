@@ -759,3 +759,44 @@ def training_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_share"),
     ).orderBy("split")
+
+
+# --------------------------------------------------------------------------
+# scalar_binary_encode
+# --------------------------------------------------------------------------
+
+_ENC_ORACLE = """
+SELECT c_custkey,
+       base64(CAST(c_name AS BLOB)) AS b64,
+       lower(hex(c_name)) AS hx,
+       CAST(CAST(from_base64(base64(CAST(c_name AS BLOB))) AS VARCHAR)
+            = c_name AS BOOLEAN) AS roundtrip_ok,
+       CAST(length(base64(CAST(c_name AS BLOB))) AS INTEGER) AS b64_len
+FROM customer
+WHERE c_custkey < 500
+ORDER BY c_custkey
+"""
+
+
+@register("scalar_binary_encode", oracle=_ENC_ORACLE)
+def scalar_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary transport encodings — base64 and hex over UTF-8 bytes,
+    with a decode round-trip proof column.  The encode/decode pair
+    every ingestion boundary needs (opaque payloads in JSON/CSV,
+    pre-signed manifest digests); emitted as STRINGS, never raw
+    binary: Spark's toPandas yields bytearray where DuckDB yields
+    bytes, so binary output cells stringify differently — the same
+    class of harness divergence as nested cells.  Hex is lowercased
+    on both engines (Spark upper-cases, DuckDB lower-cases).  Pure
+    row-local codegen, zero shuffle."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        b64.alias("b64"),
+        F.lower(F.hex(F.col("c_name"))).alias("hx"),
+        (F.unbase64(b64).cast("string") == F.col("c_name")).alias(
+            "roundtrip_ok"
+        ),
+        F.length(b64).alias("b64_len"),
+    ).orderBy("c_custkey")
