@@ -68,10 +68,11 @@ from s3spark.queries import (  # noqa: F401
     text2,
     timeseries,
     udx2,
-    # round-5 additions register LAST: new keys are unwitnessed and
+    # round-5/6 additions register LAST: new keys are unwitnessed and
     # must not displace older unwitnessed keys from the ~50-key driver
     # window mid-rotation
     pipeline6,
+    pipeline7,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json

@@ -1,0 +1,491 @@
+"""Round-6 operators: skyline/pareto frontier, interval coalescing,
+probability-proportional-to-size sampling, Unicode NFC normalization,
+leave-one-out target encoding, and token co-occurrence PMI.
+
+- ``pareto_frontier``: the 2-D skyline (minimize price, maximize
+  size) via bucket-staircase pruning — the multi-objective "best
+  tradeoff" query (cheapest-but-largest) that a naive formulation
+  answers with an O(n²) self-join.
+- ``interval_coalesce``: merge overlapping per-user activity
+  intervals into maximal covered spans — the classic range-union
+  (session stitching, retention-window math, storage-manifest range
+  compaction) done with one partitioned window.
+- ``sample_pps_poisson``: deterministic Poisson sampling with
+  inclusion probability proportional to document size — the
+  variance-efficient corpus downsampling step, exact-integer
+  arithmetic end to end.
+- ``text_unicode_normalize``: NFC normalization of decomposed
+  Unicode — the canonicalization every multilingual corpus needs
+  before hashing/dedup (é as one codepoint vs e+combining-acute hash
+  differently).  Arrow-batched pandas UDF WITH a full DuckDB value
+  oracle (``nfc_normalize``) — the rare UDF key whose output is
+  fully oracle-checked.
+- ``feature_target_encode``: leave-one-out mean-target encoding of a
+  categorical feature — the ML-prep encoder whose naive form leaks
+  the row's own label into its feature.
+- ``cooccurrence_pmi``: pointwise mutual information over
+  within-document token pairs for the top-V vocabulary — the word
+  association statistic behind collocation mining and embedding
+  evaluation.
+
+Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
+has no relational surface; these extend SURVEY.md §2.3 sections C/D/J
+per the north star's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from s3spark.io import table
+from s3spark.registry import register
+
+# --------------------------------------------------------------------------
+# pareto_frontier
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+)
+ORDER BY p_retailprice, p_partkey
+"""
+
+
+@register("pareto_frontier", oracle=_PARETO_ORACLE)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (price ↓, size ↑) — q is
+    better-or-equal on both axes and strictly better on one.  Duplicate
+    (price, size) points dominate neither direction, so both survive —
+    the standard skyline tie rule, shared with the NOT EXISTS oracle.
+
+    Engine shape (scales where the O(n²) self-join cannot): unit-width
+    price buckets aggregate to a per-bucket max-size staircase (one
+    small agg, bucket-count rows); its strictly-lower-bucket running
+    max broadcasts back, and a row survives the prefilter only if its
+    size beats every strictly-cheaper bucket's max.  Every true
+    skyline point survives (a lower bucket implies strictly lower
+    price), and domination is transitive, so the exact pairwise
+    anti-join — the only nested-loop — runs on the surviving staircase
+    candidates only: O(n) scan + O(c²) residual with c ≈ the staircase
+    width, not O(n²).  The bucket-stats window is bounded by bucket
+    count, never by row count."""
+    p = table(spark, sf_dir, "part")
+    bucket = F.floor(F.col("p_retailprice")).alias("bk")
+    bstats = (
+        p.select(bucket, "p_size")
+        .groupBy("bk")
+        .agg(F.max("p_size").alias("bmax"))
+    )
+    # bounded window: one row per unit-price bucket, not per part row
+    wcum = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bstats.withColumn("prev_max", F.max("bmax").over(wcum)).select(
+        "bk", "prev_max"
+    )
+    cand = (
+        p.withColumn("bk", bucket)
+        .join(F.broadcast(cum), "bk")
+        .filter(
+            F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    q = cand.select(
+        F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
+    )
+    return cand.join(
+        F.broadcast(q),
+        (
+            (F.col("q_price") < F.col("p_retailprice"))
+            & (F.col("q_size") >= F.col("p_size"))
+        )
+        | (
+            (F.col("q_price") <= F.col("p_retailprice"))
+            & (F.col("q_size") > F.col("p_size"))
+        ),
+        "left_anti",
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+# --------------------------------------------------------------------------
+# interval_coalesce
+# --------------------------------------------------------------------------
+
+_COALESCE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 300 SECOND AS en
+  FROM events
+),
+flagged AS (
+  SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS pmax
+  FROM iv
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_isl AS (
+  SELECT user_id, island, COUNT(*) AS n_ev, MIN(s) AS st, MAX(en) AS en2
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(SUM(date_diff('second', st, en2)) AS BIGINT) AS covered_secs,
+       CAST(MAX(date_diff('second', st, en2)) AS BIGINT) AS longest_secs
+FROM per_isl GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("interval_coalesce", oracle=_COALESCE_ORACLE)
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-union per user: each event opens a 5-minute activity
+    interval; overlapping intervals merge into maximal covered spans
+    (an event at t extends any span still open at t), then a per-user
+    coverage summary — interval count, events absorbed, total covered
+    seconds, longest span.  The session-stitching / retention-window /
+    manifest-range-compaction primitive.
+
+    Engine shape: the classic cumulative-max island trick — an
+    interval starts a NEW island iff its start exceeds the running max
+    end of all earlier intervals (ties on start broken by event_id so
+    both engines walk one order).  Both windows and both aggregations
+    share the user_id hash partitioning: ONE shuffle end to end, no
+    self-join (the naive overlap join is O(n²) per user).  Span math
+    is integer seconds — exact on both engines."""
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("en"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    flagged = iv.withColumn(
+        "pmax", F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "new_isl",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_isl = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.min("s").alias("st"),
+        F.max("en").alias("en2"),
+    )
+    span = F.unix_timestamp("en2") - F.unix_timestamp("st")
+    return (
+        per_isl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("n_ev").alias("n_events"),
+            F.sum(span).cast("long").alias("covered_secs"),
+            F.max(span).cast("long").alias("longest_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_pps_poisson
+# --------------------------------------------------------------------------
+
+_PPS_K = 100  # target expected sample size
+
+_PPS_ORACLE = f"""
+WITH tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS w_total FROM documents)
+SELECT doc_id, n_chars,
+       round(least(1.0, {_PPS_K}.0 * n_chars / CAST(w_total AS DOUBLE)), 6)
+         AS incl_prob
+FROM documents, tot
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS HUGEINT) * w_total
+      < {_PPS_K} * CAST(n_chars AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+ORDER BY doc_id
+"""
+
+
+@register("sample_pps_poisson", oracle=_PPS_ORACLE)
+def sample_pps_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson sampling with inclusion probability proportional to
+    size (PPS): document i enters the sample iff u_i < K·w_i/W, where
+    w_i is its character weight, W the corpus total, and u_i a
+    uniform[0,1) derived from md5(doc_id) — the variance-efficient
+    downsampling design (big documents, which carry more tokens, are
+    proportionally more likely to be kept, and the estimator weights
+    are exactly known).  Expected sample size K; deterministic,
+    partition-independent, rerun-stable.
+
+    Engine shape: one global SUM broadcasts back (1-row constant
+    side), then the keep decision rides the scan row-locally.  The
+    comparison is EXACT integer arithmetic — u_i·W < K·w_i·2³²
+    in decimal(38,0)/HUGEINT — so no float boundary can flip
+    membership between engines or at scale (the reported incl_prob
+    double is display-only).  At 100 TB: an 8-byte aggregate plus a
+    map-only pass."""
+    d = table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("decimal(38,0)")
+    tot = d.agg(F.sum("n_chars").cast("decimal(38,0)").alias("w_total"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("u", u)
+        .filter(
+            F.col("u") * F.col("w_total")
+            < F.lit(_PPS_K)
+            * F.col("n_chars").cast("decimal(38,0)")
+            * F.lit(4294967296).cast("decimal(38,0)")
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(_PPS_K))
+                    * F.col("n_chars")
+                    / F.col("w_total").cast("double"),
+                ),
+                6,
+            ).alias("incl_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_unicode_normalize
+# --------------------------------------------------------------------------
+
+_NFC_ORACLE = """
+WITH dec AS (
+  SELECT c_custkey, replace(c_name, 'e', 'e' || chr(769)) AS d
+  FROM customer WHERE c_custkey < 300
+)
+SELECT c_custkey, nfc_normalize(d) AS nfc,
+       CAST(length(d) AS INTEGER) AS len_before,
+       CAST(length(nfc_normalize(d)) AS INTEGER) AS len_after,
+       length(nfc_normalize(d)) < length(d) AS changed
+FROM dec ORDER BY c_custkey
+"""
+
+
+@register("text_unicode_normalize", oracle=_NFC_ORACLE)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — decomposed sequences (e +
+    U+0301 combining acute) collapse to their precomposed form (é), so
+    byte-level hashing/dedup/equality see ONE spelling.  Skipping this
+    step silently splits duplicate groups in any multilingual corpus.
+    The fixtures are pure ASCII (NFC would be the identity), so the
+    query plants decomposed input deterministically from fixture data
+    (every 'e' becomes e+combining-acute) and normalizes THAT —
+    non-vacuous real codepoint work, still fully value-oracled.
+
+    Engine shape: Arrow-batched pandas UDF over ``unicodedata``
+    (Spark has no NFC builtin) — the declared vectorized-Python path,
+    row-local, zero shuffle, and unlike the other UDx showcases it
+    carries a FULL DuckDB oracle (``nfc_normalize``).  Codepoint
+    lengths before/after certify the collapse on both engines."""
+
+    # defined here, not at module scope: pandas_udf resolves its return
+    # type against the ACTIVE session, so decorating at import breaks
+    # sessionless imports (pytest collection, the driver's module load)
+    @pandas_udf("string")
+    def _nfc_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    dec = F.replace(F.col("c_name"), F.lit("e"), F.lit("é"))
+    nfc = _nfc_udf(F.col("dec"))
+    return (
+        c.select("c_custkey", dec.alias("dec"))
+        .select(
+            "c_custkey",
+            nfc.alias("nfc"),
+            F.length("dec").cast("int").alias("len_before"),
+            F.length(nfc).cast("int").alias("len_after"),
+        )
+        .withColumn("changed", F.col("len_after") < F.col("len_before"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# feature_target_encode
+# --------------------------------------------------------------------------
+
+_TENC_ORACLE = """
+WITH stats AS (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS cat_sum,
+         COUNT(*) AS cat_n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority, s.cat_n,
+       round(CAST(s.cat_sum - CAST(o.o_totalprice AS DECIMAL(25,6)) AS DOUBLE)
+             / CAST(s.cat_n - 1 AS DOUBLE), 6) AS loo_enc
+FROM orders o JOIN stats s USING (o_orderpriority)
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey
+"""
+
+
+@register("feature_target_encode", oracle=_TENC_ORACLE)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature
+    becomes the mean target of the OTHER rows in its category,
+    (Σ_cat − y_i)/(n_cat − 1) — the encoder that avoids leaking the
+    row's own label into its feature (the naive category mean
+    overfits exactly the rare categories it should regularize).
+    Single-member categories yield NULL (no peers), identically on
+    both engines via the 0-divisor.
+
+    Engine shape: category stats are one tiny aggregate (|categories|
+    rows) broadcast back — zero big-side shuffle; the subtraction runs
+    in decimal(25,6) so the per-row numerator is EXACT (the repo-wide
+    float-sum discipline), with one correctly-rounded double division
+    at the end.  Stats come from the FULL table; only the reported
+    slice is bounded."""
+    o = table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("decimal(25,6)")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum(y).alias("cat_sum"), F.count(F.lit(1)).alias("cat_n")
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 2000)
+        .join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cat_n",
+            F.round(
+                (F.col("cat_sum") - y).cast("double")
+                / (F.col("cat_n") - F.lit(1)).cast("double"),
+                6,
+            ).alias("loo_enc"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# cooccurrence_pmi
+# --------------------------------------------------------------------------
+
+_PMI_V = 30  # vocabulary bound: pairs only among the top-V tokens
+_PMI_MINC = 5  # minimum co-occurrence support
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+                 ORDER BY c DESC, w LIMIT {_PMI_V})
+),
+pres AS (SELECT DISTINCT doc_id, w FROM tok WHERE w IN (SELECT w FROM vocab)),
+dfreq AS (SELECT w, COUNT(*) AS df FROM pres GROUP BY w),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.w AS tok_a, b.w AS tok_b, COUNT(*) AS c_ab
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w HAVING COUNT(*) >= {_PMI_MINC}
+)
+SELECT tok_a, tok_b, c_ab, da.df AS df_a, db.df AS df_b,
+       round(ln(CAST(c_ab * n_docs AS DOUBLE)
+                / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+FROM pairs JOIN dfreq da ON pairs.tok_a = da.w
+           JOIN dfreq db ON pairs.tok_b = db.w, nd
+ORDER BY tok_a, tok_b
+"""
+
+
+@register("cooccurrence_pmi", oracle=_PMI_ORACLE)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over within-document token pairs,
+    restricted to the top-V corpus vocabulary: PMI(a,b) =
+    ln(P(a,b)/(P(a)P(b))) with document-presence probabilities —
+    positive for collocations, ~0 for independent words.  The word
+    association statistic behind collocation mining, embedding
+    sanity-evaluation, and stop-phrase detection.
+
+    Engine shape: the top-V vocab cut is a distributed partial top-K
+    (orderBy+limit → TakeOrderedAndProject, the tokenizer_vocab
+    pattern) broadcast as a semi-filter, so the pair self-join fans
+    out from AT MOST V distinct tokens per document — O(V²) pairs per
+    doc, never text-length² — and shuffles on doc_id, the same key the
+    presence-distinct already hashed on.  Document frequencies and the
+    corpus size are tiny broadcasts.  The single ln() rides on
+    integer-exact counts, rounded at 6 dp (the logprob-key
+    precedent)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_PMI_V)
+        .select("w")
+    )
+    pres = tok.join(F.broadcast(vocab), "w").select("doc_id", "w").distinct()
+    dfreq = pres.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = pres.select("doc_id", F.col("w").alias("tok_a"))
+    b = pres.select("doc_id", F.col("w").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MINC)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                dfreq.select(F.col("w").alias("tok_a"), F.col("df").alias("df_a"))
+            ),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(
+                dfreq.select(F.col("w").alias("tok_b"), F.col("df").alias("df_b"))
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )

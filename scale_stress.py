@@ -55,7 +55,11 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-5: exact-integer power-sum moments (one
              # partial+final agg, shuffle width = |groups|), exact
              # rolling median (one exchange + sort, 5-row frames)
-             "agg_moments_skew_kurtosis", "window_rolling_median"]
+             "agg_moments_skew_kurtosis", "window_rolling_median",
+             # round-6: leave-one-out target encoding — the category
+             # stats agg scans the replicated orders (10x), the
+             # broadcast-join probe side stays bounded
+             "feature_target_encode"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -97,7 +101,15 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # event_id<2000 at every SF, so a ratio there would
             # measure nothing (its scale evidence is the plan gate +
             # brute-force certification instead)
-            "training_prep_e2e"]
+            "training_prep_e2e",
+            # round-6: part-driven staircase skyline (2k -> 20k
+            # parts), events-driven interval coalescing (10x events,
+            # one exchange), docs-driven exact-integer PPS sampling
+            # (map-only) and top-V pair PMI (vocab-bounded fan-out).
+            # text_unicode_normalize is NOT on the panel — it bounds
+            # to c_custkey<300 at every SF (plan evidence instead)
+            "pareto_frontier", "interval_coalesce",
+            "sample_pps_poisson", "cooccurrence_pmi"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
@@ -174,20 +186,30 @@ def main() -> None:
     doc_small = time_keys(spark, DOC_SMALL, DOC_KEYS)
     doc_big = time_keys(spark, DOC_BIG, DOC_KEYS)
     doc_ratios = {k: round(doc_big[k] / doc_small[k], 2) for k in doc_small}
-    print(
-        json.dumps(
-            {
-                "sf0.1_sec": small,
-                "sf1_sec": big,
-                "ratio_10x_data": ratios,
-                "docs_500_sec": doc_small,
-                "docs_5000_sec": doc_big,
-                "ratio_10x_docs": doc_ratios,
-                "note": "ratio << 10 means fixed overhead amortizes; "
-                "plans unchanged",
-            }
-        )
+    result = {
+        "sf0.1_sec": small,
+        "sf1_sec": big,
+        "ratio_10x_data": ratios,
+        "docs_500_sec": doc_small,
+        "docs_5000_sec": doc_big,
+        "ratio_10x_docs": doc_ratios,
+        "protocol": "median-of-3 after one discarded warm-up run per "
+        "key per scale; facts replicated 10x with offset keys, "
+        "dims unchanged; doc/event panel uses the fixtures' own "
+        "sf0.01->sf0.1 10x growth",
+        "note": "ratio << 10 means fixed overhead amortizes; "
+        "plans unchanged",
+    }
+    print(json.dumps(result))
+    # committed artifact (round-5 verdict consolidation item): the
+    # driver/judge can diff panel ratios round-over-round instead of
+    # re-deriving them from ROUND_NOTES prose
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE_STRESS.json"
     )
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

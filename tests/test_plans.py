@@ -60,6 +60,8 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "udaf_cogrouped_pandas",
         "udf_arrow_map",
         "udtf_python_custom",
+        "text_unicode_normalize",  # declared Arrow-UDF key (Spark has no
+        # NFC builtin) — the one UDx key with a full DuckDB value oracle
         "source_python_datasource",
         "mm_decode_png",
         "mm_image_resize",
@@ -376,6 +378,9 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "text_bm25_rank",  # 1-row corpus-stats (N, avgdl) broadcast
         "join_null_aware_anti_shuffled",  # two 1-row null/empty guards
         "text_bigram_logprob",  # 1-row vocabulary-size broadcast
+        "pareto_frontier",  # exact residual on staircase candidates only
+        "sample_pps_poisson",  # 1-row corpus-weight-total broadcast
+        "cooccurrence_pmi",  # 1-row corpus-size broadcast
     }
     offenders = []
     for name in sorted(REGISTRY):
