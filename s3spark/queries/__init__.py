@@ -73,6 +73,7 @@ from s3spark.queries import (  # noqa: F401
     # window mid-rotation
     pipeline6,
     pipeline7,
+    pipeline8,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json

@@ -59,7 +59,11 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-6: leave-one-out target encoding — the category
              # stats agg scans the replicated orders (10x), the
              # broadcast-join probe side stays bounded
-             "feature_target_encode"]
+             "feature_target_encode",
+             # round-6b: lineitem-driven exact normal-equations fit
+             # (one map-side-combined reduction to nine moments) and
+             # orders-driven Benford screen (<=9 groups post-scan)
+             "ml_linreg_normal_eq", "dq_benford_first_digit"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -109,7 +113,11 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # text_unicode_normalize is NOT on the panel — it bounds
             # to c_custkey<300 at every SF (plan evidence instead)
             "pareto_frontier", "interval_coalesce",
-            "sample_pps_poisson", "cooccurrence_pmi"]
+            "sample_pps_poisson", "cooccurrence_pmi",
+            # round-6b: events-driven sweep-line peak concurrency
+            # (one hash exchange) and docs-driven JSONL write+parse
+            # (line-splittable scan, per-row work constant)
+            "interval_max_concurrency", "scan_jsonl_corpus"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
