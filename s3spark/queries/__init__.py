@@ -74,6 +74,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline6,
     pipeline7,
     pipeline8,
+    pipeline9,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json

@@ -381,6 +381,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "pareto_frontier",  # exact residual on staircase candidates only
         "sample_pps_poisson",  # 1-row corpus-weight-total broadcast
         "cooccurrence_pmi",  # 1-row corpus-size broadcast
+        "sample_systematic_distributed_index",  # 1-row min/max key stats
+        "join_fallback_hierarchy",  # 1-row global-rate broadcast
     }
     offenders = []
     for name in sorted(REGISTRY):
