@@ -162,6 +162,35 @@ ORDER BY user_id
 """
 
 
+def sweep_max_concurrency(ev: DataFrame, end_expr: str) -> DataFrame:
+    """Sweep-line peak concurrency over a (user_id, ts) frame where
+    each row opens the half-open interval [ts, <end_expr>).  Exposed
+    frame-level so the random-input differential tests can drive it
+    with hypothesis-generated intervals (tests/
+    test_differential_random.py) — the registry key is one caller."""
+    pts = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            "user_id",
+            F.expr(end_expr).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "delta")
+    return (
+        pts.withColumn("cum", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("cum").alias("max_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_sessions"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 @register("interval_max_concurrency", oracle=_CONC_ORACLE)
 def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak simultaneous open sessions per user: each event opens a
@@ -181,27 +210,7 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep is O(n log n) per user vs the O(n²) self-join counting
     formulation; state per task is one running integer."""
     ev = table(spark, sf_dir, "events").select("user_id", "ts")
-    pts = ev.select(
-        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        ev.select(
-            "user_id",
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy("t", "delta")
-    return (
-        pts.withColumn("cum", F.sum("delta").over(w))
-        .groupBy("user_id")
-        .agg(
-            F.max("cum").alias("max_concurrent"),
-            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
-                "n_sessions"
-            ),
-        )
-        .orderBy("user_id")
-    )
+    return sweep_max_concurrency(ev, "ts + INTERVAL 30 MINUTES")
 
 
 # --------------------------------------------------------------------------

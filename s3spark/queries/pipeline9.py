@@ -95,7 +95,17 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("w"),
     )
-    cells = li.groupBy("flag", "price").agg(F.sum("w").alias("w"))
+    return weighted_median_two_level(li)
+
+
+def weighted_median_two_level(rows: DataFrame) -> DataFrame:
+    """Two-level bucket-crossing weighted median over a (flag, price,
+    w) frame — see agg_weighted_median for the algorithm.  Exposed
+    frame-level so the random-input differential tests can drive it
+    with hypothesis-generated weights and prices
+    (tests/test_differential_random.py); the registry key is one
+    caller."""
+    cells = rows.groupBy("flag", "price").agg(F.sum("w").alias("w"))
     stats = cells.groupBy("flag").agg(
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),

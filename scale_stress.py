@@ -63,7 +63,12 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-6b: lineitem-driven exact normal-equations fit
              # (one map-side-combined reduction to nine moments) and
              # orders-driven Benford screen (<=9 groups post-scan)
-             "ml_linreg_normal_eq", "dq_benford_first_digit"]
+             "ml_linreg_normal_eq", "dq_benford_first_digit",
+             # round-6c: lineitem-driven two-level weighted median
+             # (cell shuffle is distinct-price-bounded; every window
+             # bucket-bounded) and orders-driven fallback rate lookup
+             # (one fact scan, all-broadcast dims)
+             "agg_weighted_median", "join_fallback_hierarchy"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -117,7 +122,12 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # round-6b: events-driven sweep-line peak concurrency
             # (one hash exchange) and docs-driven JSONL write+parse
             # (line-splittable scan, per-row work constant)
-            "interval_max_concurrency", "scan_jsonl_corpus"]
+            "interval_max_concurrency", "scan_jsonl_corpus",
+            # round-6c: docs-driven distributed global row numbering
+            # (per-bucket windows + broadcast offsets) and quoted
+            # multiline CSV write+parse
+            "sample_systematic_distributed_index",
+            "scan_csv_multiline_quoted"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -508,3 +508,153 @@ def test_rolling_median_null_frame_semantics_random(
         """,
         name="rolling_median_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted median: the two-level bucket-crossing search must equal the
+# DIRECT definition (one cumulative window) on arbitrary weights/prices
+# ---------------------------------------------------------------------------
+
+_WM_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # flag
+        st.integers(min_value=0, max_value=9),     # price in ~10 cents
+        st.integers(min_value=1, max_value=5),     # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_WM_ROWS)
+@settings(**_SETTINGS)
+def test_weighted_median_two_level_vs_direct_random(
+    spark, tmp_path_factory, rows
+):
+    """The scale-shaped search (bucket staircase -> crossing bucket ->
+    in-bucket window) must return EXACTLY the direct definition's
+    answer on hypothesis-generated data that overweights its hazards:
+    tiny groups, all-equal prices (one bucket holds everything),
+    crossings landing exactly on 2*cum == total, and weight ties at
+    the crossing price."""
+    from s3spark.queries.pipeline9 import weighted_median_two_level
+
+    tmp = tmp_path_factory.mktemp("wm_rand")
+    df = spark.createDataFrame(rows, "f int, cents int, w int").select(
+        F.concat(F.lit("g"), F.col("f")).alias("flag"),
+        (F.col("cents") / 100).cast("decimal(18,2)").alias("price"),
+        F.col("w").cast("long").alias("w"),
+    )
+    path = os.path.join(str(tmp), "t_wm")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t_wm AS SELECT * FROM '{path}/*.parquet'")
+    got = weighted_median_two_level(spark.read.parquet(path)).withColumnRenamed(
+        "l_returnflag", "flag"
+    )
+    assert_same(
+        got,
+        con,
+        """
+        WITH g AS (
+          SELECT flag, price, SUM(w) AS w FROM t_wm GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT flag, price,
+                 SUM(w) OVER (PARTITION BY flag ORDER BY price) AS cum,
+                 SUM(w) OVER (PARTITION BY flag) AS total
+          FROM g
+        )
+        SELECT flag,
+               CAST(MIN(CASE WHEN 2 * cum >= total THEN price END)
+                    AS DOUBLE) AS w_median,
+               CAST(MIN(total) AS BIGINT) AS total_qty
+        FROM c GROUP BY flag
+        """,
+        name="weighted_median_random",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sweep-line concurrency: tie-heavy random intervals (equal starts,
+# end==start collisions) against the direct DuckDB window formulation
+# ---------------------------------------------------------------------------
+
+_SWEEP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user
+        st.integers(min_value=0, max_value=12),   # start second
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_SWEEP_ROWS)
+@settings(**_SETTINGS)
+def test_sweep_concurrency_ties_random(spark, tmp_path_factory, rows):
+    """Half-open sweep-line peak concurrency on generated intervals
+    [start, start+5s) whose small domains force the tie hazards:
+    identical (user, start) duplicates and intervals that end exactly
+    when another starts (must NOT count as concurrent).  Both engines
+    run the same (t, delta) tie-order semantics; agreement plus a
+    python brute-force sweep pins the definition."""
+    from s3spark.queries.pipeline8 import sweep_max_concurrency
+
+    tmp = tmp_path_factory.mktemp("sweep_rand")
+    df = spark.createDataFrame(rows, "u int, s int").select(
+        F.col("u").cast("long").alias("user_id"),
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,s)")
+        .alias("ts"),
+    )
+    path = os.path.join(str(tmp), "t_sw")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t_sw AS SELECT * FROM '{path}/*.parquet'")
+    got = sweep_max_concurrency(
+        spark.read.parquet(path), "ts + INTERVAL 5 SECONDS"
+    )
+    assert_same(
+        got,
+        con,
+        """
+        WITH pts AS (
+          SELECT user_id, ts AS t, 1 AS delta FROM t_sw
+          UNION ALL
+          SELECT user_id, ts + INTERVAL 5 SECOND, -1 FROM t_sw
+        ),
+        c AS (
+          SELECT user_id, delta,
+                 SUM(delta) OVER (PARTITION BY user_id
+                                  ORDER BY t, delta) AS cum
+          FROM pts
+        )
+        SELECT user_id,
+               CAST(MAX(cum) AS BIGINT) AS max_concurrent,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sessions
+        FROM c GROUP BY user_id
+        """,
+        name="sweep_concurrency_random",
+    )
+    # independent brute force: python sweep over the same intervals
+    import collections
+
+    expect = {}
+    by_user = collections.defaultdict(list)
+    for u, s in rows:
+        by_user[u].append(s)
+    for u, starts in by_user.items():
+        pts = sorted(
+            [(s, 1) for s in starts] + [(s + 5, -1) for s in starts],
+            key=lambda p: (p[0], p[1]),
+        )
+        cur = peak = 0
+        for _, d in pts:
+            cur += d
+            peak = max(peak, cur)
+        expect[u] = (peak, len(starts))
+    got_rows = {
+        r.user_id: (r.max_concurrent, r.n_sessions) for r in got.collect()
+    }
+    assert got_rows == expect
