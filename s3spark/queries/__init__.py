@@ -75,6 +75,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline7,
     pipeline8,
     pipeline9,
+    pipeline10,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
