@@ -68,7 +68,15 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # (cell shuffle is distinct-price-bounded; every window
              # bucket-bounded) and orders-driven fallback rate lookup
              # (one fact scan, all-broadcast dims)
-             "agg_weighted_median", "join_fallback_hierarchy"]
+             "agg_weighted_median", "join_fallback_hierarchy",
+             # round-6f: orders-driven entropy/Gini (25-cell agg
+             # behind a broadcast dim join), CUSUM over the daily
+             # series (replication grows per-day sums, the window
+             # table stays calendar-bounded), and NDCG@10 (the label
+             # slice scans 10x orders; ranking work is
+             # customer-bounded)
+             "agg_entropy_gini", "timeseries_changepoint_cusum",
+             "rank_metrics_ndcg"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -127,7 +135,16 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # (per-bucket windows + broadcast offsets) and quoted
             # multiline CSV write+parse
             "sample_systematic_distributed_index",
-            "scan_csv_multiline_quoted"]
+            "scan_csv_multiline_quoted",
+            # round-6e: events-driven interval algebra (subtract
+            # sweep, reset islands, transition lag — one user
+            # exchange each) and the hourly seasonal decomposition
+            # (partial-agg below calendar-bounded windows)
+            "interval_subtract_measure", "window_cumulative_reset",
+            "event_transition_matrix", "timeseries_seasonal_decompose",
+            # round-6f: customer-driven k-anonymity audit (1.5k ->
+            # 15k customers; one QI shuffle, bounded group tables)
+            "privacy_k_anonymity"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
