@@ -383,6 +383,7 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "cooccurrence_pmi",  # 1-row corpus-size broadcast
         "sample_systematic_distributed_index",  # 1-row min/max key stats
         "join_fallback_hierarchy",  # 1-row global-rate broadcast
+        "rfm_customer_segments",  # 1-row max-date + 1-row quartile bounds
     }
     offenders = []
     for name in sorted(REGISTRY):
