@@ -76,7 +76,17 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # slice scans 10x orders; ranking work is
              # customer-bounded)
              "agg_entropy_gini", "timeseries_changepoint_cusum",
-             "rank_metrics_ndcg"]
+             "rank_metrics_ndcg",
+             # round-6g: orders-driven exact ACF / DoD-WoW growth
+             # (windows run on the calendar-bounded daily table),
+             # one-reduction A/B z-test, RFM segmentation (one fact
+             # scan -> materialized per-customer table), referential
+             # orphan audit (lineitem-driven FK anti-join), and the
+             # calendar freshness audit (spines generated from 1-row
+             # min/max aggregates)
+             "timeseries_autocorrelation", "timeseries_pct_change",
+             "stats_ab_proportion_ztest", "rfm_customer_segments",
+             "dq_referential_orphans", "dq_freshness_calendar_gaps"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -144,7 +154,12 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             "event_transition_matrix", "timeseries_seasonal_decompose",
             # round-6f: customer-driven k-anonymity audit (1.5k ->
             # 15k customers; one QI shuffle, bounded group tables)
-            "privacy_k_anonymity"]
+            "privacy_k_anonymity",
+            # round-6g: docs-driven Poisson bootstrap (64x fan-out
+            # rides the scan, partial-aggregated to 64 groups) and
+            # RAKE keywords (vocab-bounded stats broadcast, TakeOrdered
+            # top-K)
+            "stats_bootstrap_ci_poisson", "text_keyword_rake"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -384,6 +384,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "sample_systematic_distributed_index",  # 1-row min/max key stats
         "join_fallback_hierarchy",  # 1-row global-rate broadcast
         "rfm_customer_segments",  # 1-row max-date + 1-row quartile bounds
+        "stats_bootstrap_ci_poisson",  # 1-row point-estimate broadcast
+        "dq_freshness_calendar_gaps",  # 1-row gap-stats/bounds per series
     }
     offenders = []
     for name in sorted(REGISTRY):
