@@ -80,6 +80,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline12,
     pipeline13,
     pipeline14,
+    pipeline15,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
