@@ -120,14 +120,9 @@ _WITNESSED_R1_R2 = frozenset({
 # re-records them.  Maintained by hand per round — add a key here when
 # rewriting it, remove it once a post-rewrite CORRECTNESS row lands.
 _DIRTY_KEYS = frozenset({
-    # Round-5 rewrites (flattened array outputs + decimal-partials
-    # bigram LM) all landed green CORRECTNESS_r05 rows and were cleared
-    # per the round-6 rotation TODO (ROUND_NOTES.md).
-    # Rewritten in round 6 — top-K vocab cut moved from a global
-    # single-partition row_number() window to orderBy().limit()
-    # (TakeOrderedAndProject, distributed partial top-K; round-5
-    # verdict item 2).  Its r5-era sim evidence predates the change:
-    "tokenizer_vocab_coverage",
+    # Round-6's tokenizer_vocab_coverage rewrite (orderBy().limit()
+    # top-K) landed a green CORRECTNESS_r06 row on the rewritten code
+    # and was cleared per the rotation protocol.  Currently empty.
 })
 
 

@@ -86,7 +86,7 @@ GROUP BY pt.point_mean
 @register("stats_bootstrap_ci_poisson", oracle=_BOOT_ORACLE)
 def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Poisson bootstrap of mean document length: each of
-    B={_B} resamples assigns every document a Poisson(1) replication
+    B=64 resamples assigns every document a Poisson(1) replication
     weight derived from md5(doc_id, b), so resample b's mean is
     Σ w·x / Σ w.  The 95% CI is taken from the ORDER STATISTICS of
     the B resample means (ranks 2 and B−1 for 2.5/97.5%) — selection,
@@ -202,7 +202,7 @@ LIMIT {_RAKE_TOPK}
 def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010 —
     public) over the corpus: split each document into candidate
-    phrases at stopword boundaries, score每 word by degree/frequency
+    phrases at stopword boundaries, score each word by degree/frequency
     (degree = Σ length of phrases it appears in), score each phrase
     by the sum of its word scores, return the global top-20.
 
@@ -381,8 +381,14 @@ def dq_freshness_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     erow = _freshness_row(
         ej,
         "events_hourly",
-        "CAST((unix_timestamp(p) - unix_timestamp(TIMESTAMP '1990-01-01')) "
-        "div 3600 AS BIGINT)",
+        # calendar-based hour index (days*24 + wall-clock hour field), NOT
+        # unix_timestamp elapsed-time arithmetic: elapsed hours diverge from
+        # DuckDB's naive date_diff('hour', ...) across a DST transition, so
+        # the gap-run ids would split/merge differently in a DST-observing
+        # session timezone (round-6 advice item); datediff+hour() read the
+        # same naive wall-clock fields DuckDB does under ANY timezone.
+        "CAST(datediff(CAST(p AS DATE), DATE '1990-01-01') AS BIGINT) * 24 "
+        "+ CAST(hour(p) AS BIGINT)",
     )
     return orow.unionAll(erow).orderBy("series")
 

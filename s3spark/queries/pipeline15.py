@@ -208,7 +208,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum is computed PER VALUE-RANGE BUCKET (deterministic buckets
     from the min/max of the 1-row stats broadcast — a COLUMN
     property, not a partition id, so it is partition-count-
-    independent) with a {NB}-row broadcast offset table carrying the
+    independent) with a 64-row broadcast offset table carrying the
     prefix totals — there is NO single-partition sort over the cell
     table at any point.  The oracle uses the direct single-window
     formulation; equality of the two IS the two-level scheme's
@@ -366,7 +366,7 @@ FROM term ORDER BY bin
 @register("dq_drift_psi", oracle=_PSI_ORACLE)
 def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the urgent / non-urgent
-    order-value distributions over {NB} equi-width bins — the
+    order-value distributions over 10 equi-width bins — the
     industry-standard drift score (PSI > 0.1 = warning, > 0.25 =
     action), reported per bin and in total.
 
@@ -379,8 +379,8 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical total against a literal.
 
     Engine shape: one scan → row-local bin id (after the 1-row
-    broadcast) → ONE map-side-combined shuffle to {NB} bins; every
-    window after that runs on the {NB}-row table.  All bins are
+    broadcast) → ONE map-side-combined shuffle to 10 bins; every
+    window after that runs on the 10-row table.  All bins are
     non-empty for both cohorts on this data (pinned in tests), so
     the ln() never sees zero — a production PSI adds Laplace
     smoothing, declared out of scope for the exactness proof."""

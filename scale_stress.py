@@ -86,7 +86,13 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # min/max aggregates)
              "timeseries_autocorrelation", "timeseries_pct_change",
              "stats_ab_proportion_ztest", "rfm_customer_segments",
-             "dq_referential_orphans", "dq_freshness_calendar_gaps"]
+             "dq_referential_orphans", "dq_freshness_calendar_gaps",
+             # round-6h (batch nine): orders-driven chi-square (25-cell
+             # agg behind a broadcast dim join), two-level KS cumsum
+             # (cell shuffle bounded by distinct prices), and PSI
+             # (one shuffle to 10 bins)
+             "stats_chi2_independence", "stats_ks_two_sample",
+             "dq_drift_psi"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth

@@ -386,6 +386,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "rfm_customer_segments",  # 1-row max-date + 1-row quartile bounds
         "stats_bootstrap_ci_poisson",  # 1-row point-estimate broadcast
         "dq_freshness_calendar_gaps",  # 1-row gap-stats/bounds per series
+        "stats_ks_two_sample",  # 1-row min/max stats + 1-row dmax/argmax
+        "dq_drift_psi",  # 1-row min/max bin-bounds broadcast
     }
     offenders = []
     for name in sorted(REGISTRY):
