@@ -81,6 +81,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline13,
     pipeline14,
     pipeline15,
+    pipeline16,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json

@@ -92,7 +92,14 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # (cell shuffle bounded by distinct prices), and PSI
              # (one shuffle to 10 bins)
              "stats_chi2_independence", "stats_ks_two_sample",
-             "dq_drift_psi"]
+             "dq_drift_psi",
+             # round-7 (batch ten): orders-driven Welch (one 2-group
+             # reduction), Mann-Whitney (distinct-price-bounded cell
+             # shuffle + bucket windows), lineitem-driven Spearman
+             # (one fact-wide rank-map shuffle), and the portable HLL
+             # (one shuffle to <=256*groups register rows)
+             "stats_welch_ttest", "stats_mann_whitney_u",
+             "stats_spearman_corr", "agg_hll_hand_portable"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth

@@ -388,6 +388,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "dq_freshness_calendar_gaps",  # 1-row gap-stats/bounds per series
         "stats_ks_two_sample",  # 1-row min/max stats + 1-row dmax/argmax
         "dq_drift_psi",  # 1-row min/max bin-bounds broadcast
+        "stats_mann_whitney_u",  # 1-row bucket-range stats broadcast
+        "stats_spearman_corr",  # two 1-row bucket-range stats broadcasts
     }
     offenders = []
     for name in sorted(REGISTRY):
