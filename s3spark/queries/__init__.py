@@ -82,6 +82,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline14,
     pipeline15,
     pipeline16,
+    pipeline17,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json

@@ -1,0 +1,353 @@
+"""Round-7 batch eleven: robust trend estimation, corpus-law
+screening, and the l-diversity release gate.
+
+- ``timeseries_theil_sen``: Theil-Sen robust slope of daily revenue —
+  the median of all pairwise slopes, selected EXACTLY by rank over
+  µcent-quantized integer slopes (the two-level prefix scheme again —
+  no global sort, no percentile interpolation).
+- ``text_zipf_fit``: rank-frequency power-law fit over the corpus
+  vocabulary — the Zipf screen a training-data pipeline runs to flag
+  templated/synthetic text (natural corpora fit slope ≈ −1; this
+  fixture's 31-token near-uniform vocabulary measures ≈ −0.18 and the
+  zipf_like flag correctly stays 0).
+- ``privacy_l_diversity``: distinct l-diversity audit over the
+  (nation, segment, balance-bucket) quasi-identifier with order
+  priority as the sensitive attribute — the companion release gate to
+  ``privacy_k_anonymity`` (pipeline12): k bounds re-identification,
+  l bounds attribute disclosure.
+
+Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
+has no relational surface; these extend SURVEY.md §2.3 sections D/J
+per the north star's analytics + training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import scratch_dir, table
+from s3spark.queries.pipeline16 import _with_cum_less
+from s3spark.registry import register
+
+# --------------------------------------------------------------------------
+# timeseries_theil_sen
+# --------------------------------------------------------------------------
+
+# Pairwise slopes are quantized to integer MICRO-CENTS PER DAY with
+# sign-symmetric truncation (abs before the integral division — Spark's
+# `div` truncates toward zero while DuckDB's `//` floors, so negative
+# operands would diverge; on non-negative operands the two agree).
+# The integral-division OPERATOR is the one engine-specific spelling
+# (`div` vs `//`), so the shared text is parameterized on it.
+_TS_SLOPE_Q = (
+    "CAST(CASE WHEN yb - ya < 0 THEN -1 ELSE 1 END "
+    "* ((abs(yb - ya) * 1000000) {IDIV} (db - da)) AS BIGINT)"
+)
+
+_TS_MED = "((CAST(v1 AS DOUBLE) + CAST(v2 AS DOUBLE)) / 2.0 / 1000000.0)"
+
+_TS_TAIL = (
+    "n_days",
+    "n_pairs",
+    "v1 AS slope_q_lo",
+    "v2 AS slope_q_hi",
+    f"CAST({_TS_MED} AS DOUBLE) AS slope_cents_per_day",
+    f"CAST(CASE WHEN ({_TS_MED}) > 0.0 THEN 1 WHEN ({_TS_MED}) < 0.0 "
+    "THEN -1 ELSE 0 END AS BIGINT) AS trend_sign",
+)
+
+_TS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.d AS da, a.y AS ya, b.d AS db, b.y AS yb
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+q AS (SELECT {_TS_SLOPE_Q.replace("{IDIV}", "//")} AS v FROM p),
+rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM q),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM q),
+s AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+         cnt.n_pairs,
+         MIN(CASE WHEN r = (cnt.n_pairs + 1) // 2 THEN v END) AS v1,
+         MIN(CASE WHEN r = (cnt.n_pairs + 2) // 2 THEN v END) AS v2
+  FROM rk, cnt GROUP BY cnt.n_pairs
+)
+SELECT {", ".join(_TS_TAIL)} FROM s
+"""
+
+
+@register("timeseries_theil_sen", oracle=_TS_ORACLE)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (y_j−y_i)/(d_j−d_i) — up to 29.3% outlier days
+    cannot move it, unlike the least-squares fit (ml_linreg_normal_eq).
+
+    Exactness: each pairwise slope is quantized to an exact integer in
+    micro-cents/day (sign-symmetric: sign · (|Δy|·10⁶ div Δd) — abs
+    first, because Spark's `div` truncates while DuckDB's `//` floors
+    and the two differ on negatives); the median is then an ORDER
+    STATISTIC of integers — ranks ⌈N/2⌉ and ⌊N/2⌋+1 selected exactly,
+    no interpolation formula, and the only float is the final
+    (v1+v2)/2/10⁶ with shared expression text.
+
+    Engine shape: orders partial-aggregates map-side to the
+    CALENDAR-BOUNDED daily table (≤2,400 rows forever), which is
+    materialized once (both sides of the pair join would otherwise
+    replay the fact scan); the d_b > d_a pair join is a declared
+    nested-loop over two calendar-bounded inputs (~2.9M pairs at full
+    range — CONSTANT in fact scale, same argument as
+    timeseries_seasonal_decompose); the median selection reuses the
+    two-level prefix scheme on the slope cells — no global sort of
+    the pair table at any point."""
+    orders = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily_path = scratch_dir("theilsen") + "/daily"
+    orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).write.mode("overwrite").parquet(daily_path)
+    daily = spark.read.parquet(daily_path)
+    a = daily.selectExpr("d AS da", "y AS ya")
+    b = daily.selectExpr("d AS db", "y AS yb")
+    p = a.join(b, F.col("db") > F.col("da"))
+    cells = (
+        p.selectExpr(f"{_TS_SLOPE_Q.replace('{IDIV}', 'div')} AS v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c2 = _with_cum_less(spark, cells, "theilsen_med")
+    tot = c2.agg(
+        F.sum("cnt").cast("bigint").alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    sel = (
+        c2.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "v",
+            "cnt",
+            "cum_less",
+            "n_pairs",
+            "(n_pairs + 1) div 2 AS k1",
+            "(n_pairs + 2) div 2 AS k2",
+        )
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.min(
+                F.when(
+                    (F.col("cum_less") < F.col("k1"))
+                    & (F.col("k1") <= F.col("cum_less") + F.col("cnt")),
+                    F.col("v"),
+                )
+            ).alias("v1"),
+            F.min(
+                F.when(
+                    (F.col("cum_less") < F.col("k2"))
+                    & (F.col("k2") <= F.col("cum_less") + F.col("cnt")),
+                    F.col("v"),
+                )
+            ).alias("v2"),
+        )
+    )
+    return sel.crossJoin(F.broadcast(nd)).selectExpr(*_TS_TAIL)
+
+
+# --------------------------------------------------------------------------
+# text_zipf_fit
+# --------------------------------------------------------------------------
+
+_ZIPF_K = 500  # top-K frequency cut; rank window runs on <=K rows
+
+# Least-squares fit of ln(freq) = intercept + slope·ln(rank) from
+# decimal-partial-summed products of bit-identical doubles (ln of exact
+# integers on both engines), shared expression text throughout.
+_Z_SLOPE = "(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE))"
+_Z_INTER = f"((CAST(sy AS DOUBLE) - ({_Z_SLOPE}) * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE))"
+_Z_R2 = (
+    "((CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE)) / "
+    "(CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)))"
+)
+
+_Z_TAIL = (
+    "k AS n_tokens",
+    f"CAST({_Z_SLOPE} AS DOUBLE) AS zipf_slope",
+    f"CAST({_Z_INTER} AS DOUBLE) AS zipf_intercept",
+    f"CAST({_Z_R2} AS DOUBLE) AS r2",
+    f"CAST(CASE WHEN ({_Z_SLOPE}) <= -0.5 THEN 1 ELSE 0 END AS BIGINT)"
+    " AS zipf_like",
+)
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token),
+top AS (SELECT token, c FROM freq ORDER BY c DESC, token LIMIT {_ZIPF_K}),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS r
+  FROM top
+),
+t AS (
+  SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(25,6)) AS x,
+         CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(25,6)) AS y,
+         CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+              AS DECIMAL(25,6)) AS xx,
+         CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+              AS DECIMAL(25,6)) AS yy,
+         CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+              AS DECIMAL(25,6)) AS xy
+  FROM ranked
+),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(xx) AS sxx,
+         SUM(yy) AS syy, SUM(xy) AS sxy
+  FROM t
+)
+SELECT {", ".join(_Z_TAIL)} FROM f
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency power-law fit over the corpus vocabulary — the
+    Zipf screen: natural-language corpora fit ln(freq) ≈ a − s·ln(rank)
+    with s ≈ 1, so a slope far above −0.5 flags templated or synthetic
+    text before it pollutes a training mix.  (This fixture's 31-token
+    near-uniform vocabulary measures s ≈ −0.18 → zipf_like = 0, the
+    screen firing correctly.)
+
+    Exactness: ranks come from a deterministic (freq DESC, token)
+    ordering; ln runs on exact integer ranks/counts (identical
+    operands → bit-identical doubles); each of the five regression
+    moments lifts through decimal(25,6) BEFORE summation
+    (order-independent — the log-partials recipe); slope, intercept
+    and r² share one expression text over the summed moments.
+
+    Engine shape: explode → ONE map-side-combined token shuffle
+    (vocab-bounded); the top-K cut is orderBy().limit() —
+    TakeOrderedAndProject, a distributed partial top-K (the
+    tokenizer_vocab_coverage rewrite pattern); the rank window runs
+    UNPARTITIONED but on ≤500 rows BY CONSTRUCTION (bounded by the
+    preceding limit — the feature_quantile_bin argument); the moment
+    fold is a constant-width reduction."""
+    d = table(spark, sf_dir, "documents").select("text")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = freq.orderBy(F.desc("c"), "token").limit(_ZIPF_K)
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = top.select(
+        "c", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    dec = "decimal(25,6)"
+    t = ranked.selectExpr(
+        f"CAST(ln(CAST(r AS DOUBLE)) AS {dec}) AS x",
+        f"CAST(ln(CAST(c AS DOUBLE)) AS {dec}) AS y",
+        f"CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) AS {dec}) AS xx",
+        f"CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS {dec}) AS yy",
+        f"CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS {dec}) AS xy",
+    )
+    f = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+        F.sum("xy").alias("sxy"),
+    )
+    return f.selectExpr(*_Z_TAIL)
+
+
+# --------------------------------------------------------------------------
+# privacy_l_diversity
+# --------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+WITH j AS (
+  SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+         CAST(FLOOR(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    / 100000.0) AS BIGINT) AS bal_bucket,
+         o.o_orderpriority AS sens
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT nat, seg, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN l >= 3 THEN 1 ELSE 0 END AS BIGINT) AS meets_l3,
+       CAST(SUM(CASE WHEN l >= 3 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS releasable_rows
+FROM g GROUP BY l ORDER BY l
+"""
+
+
+@register("privacy_l_diversity", oracle=_LDIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=3) over the (nation, segment,
+    balance-bucket) quasi-identifier with order priority as the
+    sensitive attribute — the companion gate to ``privacy_k_anonymity``
+    (pipeline12.py): k-anonymity bounds who a row could be,
+    l-diversity bounds what the row reveals (a k-anonymous group whose
+    rows all share one sensitive value still discloses it).  Reports
+    the distribution of l across groups and the releasable row mass.
+
+    Exactness: the balance bucket is the k-anonymity recipe verbatim
+    (exact cents, explicit FLOOR — the documented cast-truncation
+    divergence); every output is an exact integer count.
+
+    Engine shape: the fact broadcast-joins the customer dim, then ONE
+    map-side-combined shuffle on the quasi-identifier produces the
+    group table (bounded by |nations|·|segments|·|buckets|, not row
+    count — countDistinct over 5 priorities partial-aggregates
+    map-side); the l-distribution rollup runs on the bounded group
+    table."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("double")
+            / 100000
+        )
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    g = j.groupBy("nat", "seg", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("l"),
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.max(
+                F.when(F.col("l") >= 3, 1).otherwise(0).cast("bigint")
+            ).alias("meets_l3"),
+            F.sum(
+                F.when(F.col("l") >= 3, F.col("n_rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("releasable_rows"),
+        )
+        .orderBy("l")
+    )

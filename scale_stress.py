@@ -99,7 +99,11 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # (one fact-wide rank-map shuffle), and the portable HLL
              # (one shuffle to <=256*groups register rows)
              "stats_welch_ttest", "stats_mann_whitney_u",
-             "stats_spearman_corr", "agg_hll_hand_portable"]
+             "stats_spearman_corr", "agg_hll_hand_portable",
+             # round-7b (batch eleven): orders-driven Theil-Sen (pair
+             # work calendar-bounded, constant in fact scale) and
+             # l-diversity (one QI shuffle, bounded groups)
+             "timeseries_theil_sen", "privacy_l_diversity"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -136,6 +140,9 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # top-K join), and the zero-shuffle trigram langid fold
             "split_leakage_safe", "tokenizer_vocab_coverage",
             "text_langid_char_ngram",
+            # round-7 (batch eleven): docs-driven Zipf screen (one
+            # vocab-bounded token shuffle + TakeOrdered cut)
+            "text_zipf_fit",
             # composed prep pipeline (one digest shuffle).  NOTE:
             # join_spatial_grid is NOT on the panel — it bounds to
             # event_id<2000 at every SF, so a ratio there would

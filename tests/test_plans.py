@@ -390,6 +390,9 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "dq_drift_psi",  # 1-row min/max bin-bounds broadcast
         "stats_mann_whitney_u",  # 1-row bucket-range stats broadcast
         "stats_spearman_corr",  # two 1-row bucket-range stats broadcasts
+        # calendar-bounded pair join (<=2,400-row daily table both
+        # sides, constant in fact scale) + 1-row count/stats broadcasts
+        "timeseries_theil_sen",
     }
     offenders = []
     for name in sorted(REGISTRY):
