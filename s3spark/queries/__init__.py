@@ -83,6 +83,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline15,
     pipeline16,
     pipeline17,
+    pipeline18,
 )
 
 # Keys with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json

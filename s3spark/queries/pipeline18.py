@@ -1,0 +1,388 @@
+"""Round-7 batch twelve: the remaining inference / corpus-memorization
+/ feed-integrity screens.
+
+- ``stats_permutation_test``: Monte-Carlo permutation test of the
+  urgent-vs-rest mean order value — B=64 hash-deterministic label
+  reassignments, each an exact integer reduction; the p-value is a
+  count of bit-identical double comparisons.
+- ``text_ngram_novelty``: per-source share of corpus-unique trigrams —
+  the memorization/boilerplate screen (novelty ≈ 1 = fresh text,
+  novelty ≈ 0 = the corpus repeats itself).
+- ``dq_sequence_id_audit``: contiguity audit of monotonic id feeds
+  (missing ids, duplicate deliveries, span density) over the clean
+  fixture sequences plus two simulated defect feeds, so every failure
+  column fires non-vacuously.
+
+Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
+has no relational surface; these extend SURVEY.md §2.3 sections D/J
+per the north star's analytics + training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3spark.io import table
+from s3spark.registry import register
+
+# --------------------------------------------------------------------------
+# stats_permutation_test
+# --------------------------------------------------------------------------
+
+_PERM_B = 64
+
+# Mean difference over exact integer (sum, count) pairs — ONE shared
+# expression text (the Welch/z-test recipe).
+_PERM_DIFF = (
+    "(CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE)"
+    " - CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE))"
+)
+
+_PERM_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+  FROM orders
+),
+st AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS n,
+         (CAST(SUM(is_a) AS HUGEINT) * 4294967296) // COUNT(*) AS t32
+  FROM v
+),
+obs AS (
+  SELECT CAST(SUM(x * is_a) AS HUGEINT) AS sa,
+         CAST(SUM(is_a) AS BIGINT) AS ca,
+         CAST(SUM(x * (1 - is_a)) AS HUGEINT) AS sr,
+         CAST(SUM(1 - is_a) AS BIGINT) AS cr
+  FROM v
+),
+o2 AS (SELECT {_PERM_DIFF} AS obs_diff FROM obs),
+e AS (
+  SELECT k, x, b FROM v, (SELECT unnest(range({_PERM_B})) AS b)
+),
+u AS (
+  SELECT x, b,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                                 || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) AS u
+  FROM e
+),
+lab AS (
+  SELECT x, b, CASE WHEN u < st.t32 THEN 1 ELSE 0 END AS l FROM u, st
+),
+perm AS (
+  SELECT b,
+         CAST(SUM(x * l) AS HUGEINT) AS sa,
+         CAST(SUM(l) AS BIGINT) AS ca,
+         CAST(SUM(x * (1 - l)) AS HUGEINT) AS sr,
+         CAST(SUM(1 - l) AS BIGINT) AS cr
+  FROM lab GROUP BY b
+),
+ext AS (
+  SELECT CAST(SUM(CASE WHEN abs({_PERM_DIFF}) >= abs(o2.obs_diff)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM perm, o2
+)
+SELECT st.n1, st.n - st.n1 AS n2,
+       CAST(o2.obs_diff AS DOUBLE) AS obs_diff,
+       CAST({_PERM_B} AS BIGINT) AS b_count,
+       ext.n_extreme,
+       CAST(CAST(1 + ext.n_extreme AS DOUBLE)
+            / CAST({_PERM_B} + 1 AS DOUBLE) AS DOUBLE) AS p_value,
+       CAST(CASE WHEN CAST(1 + ext.n_extreme AS DOUBLE)
+                      / CAST({_PERM_B} + 1 AS DOUBLE) <= 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+FROM st, o2, ext
+"""
+
+
+@register("stats_permutation_test", oracle=_PERM_ORACLE)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test of the urgent-vs-rest mean order
+    value: each of B=64 resamples reassigns every row's group label by
+    a deterministic hash draw with the observed marginal rate, and the
+    p-value is the (add-one) share of permuted |mean diffs| at least
+    as extreme as the observed one — the assumption-free sibling of
+    stats_welch_ttest / stats_ab_proportion_ztest.
+
+    Exactness: the label threshold is the exact integer
+    (n1·2³²) div n; labels compare the exact first-8-hex md5 integer
+    against it (the Poisson-bootstrap recipe); per-permutation sums
+    and counts are exact decimal(38,0)/HUGEINT; every mean difference
+    — observed and permuted — evaluates ONE shared expression text on
+    bit-identical operands, so the >= comparisons and therefore
+    n_extreme are bit-reproducible.
+
+    Engine shape: the ×64 label fan-out is row-local and rides the
+    scan (explode(sequence)); ONE map-side-combined shuffle reduces
+    it to 64 rows; the observed stats and the 1-row threshold /
+    observed-diff broadcasts are declared constant-build nested
+    loops."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v = orders.selectExpr(
+        "o_orderkey AS k",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a",
+    )
+    big = "decimal(38,0)"
+    st = v.selectExpr("is_a").agg(
+        F.sum("is_a").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST((CAST(SUM(is_a) AS DECIMAL(38,0)) * 4294967296)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("t32"),
+    )
+    obs = v.agg(
+        F.sum(F.col("x").cast(big) * F.col("is_a")).cast(big).alias("sa"),
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.col("x").cast(big) * (1 - F.col("is_a"))).cast(big).alias("sr"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("cr"),
+    )
+    o2 = obs.selectExpr(f"{_PERM_DIFF} AS obs_diff")
+    e = v.selectExpr("k", "x", f"explode(sequence(0, {_PERM_B - 1})) AS b")
+    u = e.selectExpr(
+        "x",
+        "b",
+        "CAST(conv(substr(md5(CAST(concat(CAST(k AS STRING), '|', "
+        "CAST(b AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) AS u",
+    )
+    lab = u.crossJoin(F.broadcast(st.select("t32"))).selectExpr(
+        "x", "b", "CASE WHEN u < t32 THEN 1 ELSE 0 END AS l"
+    )
+    perm = lab.groupBy("b").agg(
+        F.sum(F.col("x").cast(big) * F.col("l")).cast(big).alias("sa"),
+        F.sum("l").cast("bigint").alias("ca"),
+        F.sum(F.col("x").cast(big) * (1 - F.col("l"))).cast(big).alias("sr"),
+        F.sum(1 - F.col("l")).cast("bigint").alias("cr"),
+    )
+    ext = (
+        perm.crossJoin(F.broadcast(o2))
+        .selectExpr(
+            f"CASE WHEN abs({_PERM_DIFF}) >= abs(obs_diff) THEN 1 ELSE 0 END"
+            " AS is_ext"
+        )
+        .agg(F.sum("is_ext").cast("bigint").alias("n_extreme"))
+    )
+    return (
+        st.select("n1", "n")
+        .crossJoin(F.broadcast(o2))
+        .crossJoin(F.broadcast(ext))
+        .selectExpr(
+            "n1",
+            "n - n1 AS n2",
+            "CAST(obs_diff AS DOUBLE) AS obs_diff",
+            f"CAST({_PERM_B} AS BIGINT) AS b_count",
+            "n_extreme",
+            f"CAST(CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B} + 1 AS DOUBLE)"
+            " AS DOUBLE) AS p_value",
+            f"CAST(CASE WHEN CAST(1 + n_extreme AS DOUBLE) / "
+            f"CAST({_PERM_B} + 1 AS DOUBLE) <= 0.05 THEN 1 ELSE 0 END"
+            " AS BIGINT) AS reject_05",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_ngram_novelty
+# --------------------------------------------------------------------------
+
+_NOV_AVG = "(CAST(sum_share AS DOUBLE) / CAST(n_docs_scored AS DOUBLE))"
+
+_NOV_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, trigram FROM (
+    SELECT doc_id, source, toks, generate_subscripts(toks, 1) AS i FROM words
+    WHERE len(toks) >= 3
+  ) t, LATERAL (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                AS trigram) g
+  WHERE i <= len(toks) - 2
+),
+df AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY trigram),
+per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM sh JOIN df ON sh.trigram = df.trigram
+  GROUP BY sh.doc_id, sh.source
+),
+shares AS (
+  SELECT source,
+         CAST(CAST(novel AS DOUBLE) / CAST(total AS DOUBLE)
+              AS DECIMAL(25,6)) AS share
+  FROM per_doc
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+         SUM(share) AS sum_share,
+         CAST(MIN(share) AS DOUBLE) AS min_share,
+         CAST(MAX(share) AS DOUBLE) AS max_share
+  FROM shares GROUP BY source
+)
+SELECT source, n_docs_scored,
+       CAST({_NOV_AVG} AS DOUBLE) AS avg_novelty,
+       min_share AS min_novelty, max_share AS max_novelty
+FROM agg ORDER BY source
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOV_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of corpus-unique word trigrams — the
+    memorization / boilerplate screen: a document whose trigrams all
+    appear in other documents contributes nothing new to a training
+    mix (novelty ≈ 0), while near-1 novelty marks fresh text.  Reports
+    avg/min/max novelty per source.
+
+    Exactness: document frequencies are exact integers over the
+    DISTINCT (doc, trigram) set (the dedup_ngram_jaccard shingle
+    recipe); each per-doc share is ONE IEEE division lifted through
+    decimal(25,6) before the per-source sum (order-independent); the
+    average is one shared-text division of the decimal sum.
+
+    Engine shape: trigram explode rides the scan into ONE distinct
+    (doc,trigram) shuffle; the df aggregate is map-side-combined on
+    the trigram key; the df join back to shingles is the one
+    fact-wide equi-join shuffle (both sides already partitioned by
+    trigram — no extra exchange); per-doc and per-source aggregates
+    are bounded by |docs| and |sources|.  Sub-3-word documents carry
+    no trigrams and are excluded from scoring on both engines."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = d.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    trigrams = F.expr(
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    sh = words.select(
+        "doc_id", "source", F.explode(trigrams).alias("trigram")
+    ).distinct()
+    df = sh.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df, "trigram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    shares = per_doc.selectExpr(
+        "source",
+        "CAST(CAST(novel AS DOUBLE) / CAST(total AS DOUBLE)"
+        " AS DECIMAL(25,6)) AS share",
+    )
+    agg = shares.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_scored"),
+        F.sum("share").alias("sum_share"),
+        F.min("share").cast("double").alias("min_share"),
+        F.max("share").cast("double").alias("max_share"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs_scored",
+        f"CAST({_NOV_AVG} AS DOUBLE) AS avg_novelty",
+        "min_share AS min_novelty",
+        "max_share AS max_novelty",
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# dq_sequence_id_audit
+# --------------------------------------------------------------------------
+
+_SEQ_DENSITY = "(CAST(n_keys AS DOUBLE) / CAST(max_id - min_id + 1 AS DOUBLE))"
+
+_SEQ_TAIL = (
+    "series",
+    "n_rows",
+    "n_keys",
+    "min_id",
+    "max_id",
+    "max_id - min_id + 1 AS span",
+    "max_id - min_id + 1 - n_keys AS missing_ids",
+    "n_rows - n_keys AS duplicate_rows",
+    f"CAST({_SEQ_DENSITY} AS DOUBLE) AS density",
+    "CAST(CASE WHEN max_id - min_id + 1 = n_keys AND n_rows = n_keys "
+    "THEN 1 ELSE 0 END AS BIGINT) AS contiguous",
+)
+
+_SEQ_ORACLE = f"""
+WITH src AS (
+  SELECT 'orders_full' AS series, o_orderkey AS id FROM orders
+  UNION ALL
+  SELECT 'orders_gapped_feed' AS series, o_orderkey AS id
+  FROM orders WHERE o_orderkey % 97 <> 13
+  UNION ALL
+  SELECT 'events_double_delivery' AS series, event_id AS id FROM events
+  UNION ALL
+  SELECT 'events_double_delivery' AS series, event_id AS id
+  FROM events WHERE event_id % 50 = 7
+),
+g AS (
+  SELECT series,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys,
+         CAST(MIN(id) AS BIGINT) AS min_id,
+         CAST(MAX(id) AS BIGINT) AS max_id
+  FROM src GROUP BY series
+)
+SELECT {", ".join(_SEQ_TAIL)} FROM g ORDER BY series
+"""
+
+
+@register("dq_sequence_id_audit", oracle=_SEQ_ORACLE)
+def dq_sequence_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-id feed integrity audit: for each delivered id
+    sequence report missing ids (span − distinct), duplicate
+    deliveries (rows − distinct), span density, and a contiguity
+    flag — the first check an autoincrement/offset-keyed feed gets on
+    landing.  The fixture sequences are perfectly contiguous, so two
+    simulated defect feeds keep every failure column non-vacuous:
+    a gapped orders feed (every o_orderkey ≡ 13 mod 97 withheld —
+    lost messages) and a double-delivered events feed (every
+    event_id ≡ 7 mod 50 shipped twice — at-least-once replay).
+
+    Exactness: four integer aggregates per series; density is one
+    shared-text IEEE division of exact integers.
+
+    Engine shape: each series is one scan + ONE map-side-combined
+    aggregate (count / distinct / min / max share the reduction);
+    distinct ids partial-aggregate map-side, so no raw id set ever
+    concentrates; output is |series| rows."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id")
+    )
+    events = table(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    src = (
+        orders.selectExpr("'orders_full' AS series", "id")
+        .unionByName(
+            orders.where(F.col("id") % 97 != 13).selectExpr(
+                "'orders_gapped_feed' AS series", "id"
+            )
+        )
+        .unionByName(
+            events.selectExpr("'events_double_delivery' AS series", "id")
+        )
+        .unionByName(
+            events.where(F.col("id") % 50 == 7).selectExpr(
+                "'events_double_delivery' AS series", "id"
+            )
+        )
+    )
+    g = src.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_keys"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )
+    return g.selectExpr(*_SEQ_TAIL).orderBy("series")

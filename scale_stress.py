@@ -103,7 +103,11 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-7b (batch eleven): orders-driven Theil-Sen (pair
              # work calendar-bounded, constant in fact scale) and
              # l-diversity (one QI shuffle, bounded groups)
-             "timeseries_theil_sen", "privacy_l_diversity"]
+             "timeseries_theil_sen", "privacy_l_diversity",
+             # round-7c (batch twelve): orders-driven permutation test
+             # (x64 row-local fan-out -> 64-row shuffle) and the
+             # orders+events sequence audit (one reduction per series)
+             "stats_permutation_test", "dq_sequence_id_audit"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -143,6 +147,9 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # round-7 (batch eleven): docs-driven Zipf screen (one
             # vocab-bounded token shuffle + TakeOrdered cut)
             "text_zipf_fit",
+            # round-7c: docs-driven trigram novelty (distinct shuffle
+            # + df join back on the trigram key)
+            "text_ngram_novelty",
             # composed prep pipeline (one digest shuffle).  NOTE:
             # join_spatial_grid is NOT on the panel — it bounds to
             # event_id<2000 at every SF, so a ratio there would

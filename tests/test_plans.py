@@ -393,6 +393,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         # calendar-bounded pair join (<=2,400-row daily table both
         # sides, constant in fact scale) + 1-row count/stats broadcasts
         "timeseries_theil_sen",
+        # 1-row threshold + 1-row observed-diff broadcasts
+        "stats_permutation_test",
     }
     offenders = []
     for name in sorted(REGISTRY):
