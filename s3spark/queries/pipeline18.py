@@ -60,13 +60,17 @@ obs AS (
 ),
 o2 AS (SELECT {_PERM_DIFF} AS obs_diff FROM obs),
 e AS (
-  SELECT k, x, b FROM v, (SELECT unnest(range({_PERM_B})) AS b)
+  SELECT k, x, g FROM v, (SELECT unnest(range({_PERM_B // 4})) AS g)
+),
+hh AS (
+  SELECT x, g,
+         md5(CAST(k AS VARCHAR) || '|' || CAST(g AS VARCHAR)) AS hx
+  FROM e
 ),
 u AS (
-  SELECT x, b,
-         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
-                                 || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) AS u
-  FROM e
+  SELECT x, 4 * g + w AS b,
+         CAST('0x' || substr(hx, 1 + 8 * w, 8) AS BIGINT) AS u
+  FROM hh, (SELECT unnest(range(4)) AS w)
 ),
 lab AS (
   SELECT x, b, CASE WHEN u < st.t32 THEN 1 ELSE 0 END AS l FROM u, st
@@ -107,18 +111,25 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_welch_ttest / stats_ab_proportion_ztest.
 
     Exactness: the label threshold is the exact integer
-    (n1·2³²) div n; labels compare the exact first-8-hex md5 integer
-    against it (the Poisson-bootstrap recipe); per-permutation sums
-    and counts are exact decimal(38,0)/HUGEINT; every mean difference
-    — observed and permuted — evaluates ONE shared expression text on
-    bit-identical operands, so the >= comparisons and therefore
-    n_extreme are bit-reproducible.
+    (n1·2³²) div n; the per-(row, permutation) draw is one of the
+    FOUR independent 32-bit words of md5(key|group) — one md5 call
+    yields four permutations' draws (the Poisson-bootstrap hash
+    recipe, amortized 4×: 16 md5s per row instead of 64), each
+    extracted as an exact 8-hex-chars integer on both engines;
+    per-permutation sums and counts are exact decimal(38,0)/HUGEINT;
+    every mean difference — observed and permuted — evaluates ONE
+    shared expression text on bit-identical operands, so the >=
+    comparisons and therefore n_extreme are bit-reproducible.
 
-    Engine shape: the ×64 label fan-out is row-local and rides the
-    scan (explode(sequence)); ONE map-side-combined shuffle reduces
-    it to 64 rows; the observed stats and the 1-row threshold /
-    observed-diff broadcasts are declared constant-build nested
-    loops."""
+    Engine shape: the fan-out is row-local and rides the scan as ONE
+    ×16 explode (the md5 stage); all four word-labels of a hash
+    evaluate on the SAME generated row, so the map-side-combined
+    aggregate loop runs over rows×16 — not rows×64 — with pure BIGINT
+    sums (per-permutation Σx fits 2⁶³ past 100 TB), unpivoted to the
+    64 permutations by stack() on the 16-row result; the complement
+    cohort derives from the exact 1-row totals (sr = Σx − sa).  The
+    observed stats and the 1-row threshold / observed-diff broadcasts
+    are declared constant-build nested loops."""
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
@@ -143,21 +154,57 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_a")).cast("bigint").alias("cr"),
     )
     o2 = obs.selectExpr(f"{_PERM_DIFF} AS obs_diff")
-    e = v.selectExpr("k", "x", f"explode(sequence(0, {_PERM_B - 1})) AS b")
-    u = e.selectExpr(
+    e = v.selectExpr(
+        "k", "x", f"explode(sequence(0, {_PERM_B // 4 - 1})) AS g"
+    )
+    h = e.selectExpr(
         "x",
-        "b",
-        "CAST(conv(substr(md5(CAST(concat(CAST(k AS STRING), '|', "
-        "CAST(b AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) AS u",
+        "g",
+        "md5(CAST(concat(CAST(k AS STRING), '|', CAST(g AS STRING))"
+        " AS BINARY)) AS hx",
     )
-    lab = u.crossJoin(F.broadcast(st.select("t32"))).selectExpr(
-        "x", "b", "CASE WHEN u < t32 THEN 1 ELSE 0 END AS l"
+    # all four word-labels evaluate on the SAME generated row, so the
+    # aggregate loop runs over rows×16, not rows×64; per-permutation
+    # sums fit BIGINT to ~10¹⁸ (x ≤ 6·10⁷ cents · 1.5·10¹⁰ rows), so no
+    # decimal arithmetic in the hot loop.  The 16-row result unpivots
+    # to 64 permutations via stack, and the complement cohort derives
+    # from the 1-row exact totals (sr = Σx − sa, cr = n − ca).
+    lab4 = h.crossJoin(F.broadcast(st.select("t32"))).selectExpr(
+        "x",
+        "g",
+        *[
+            f"CASE WHEN CAST(conv(substr(hx, {1 + 8 * w}, 8), 16, 10)"
+            f" AS BIGINT) < t32 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)"
+            f" END AS l{w}"
+            for w in range(4)
+        ],
     )
-    perm = lab.groupBy("b").agg(
-        F.sum(F.col("x").cast(big) * F.col("l")).cast(big).alias("sa"),
-        F.sum("l").cast("bigint").alias("ca"),
-        F.sum(F.col("x").cast(big) * (1 - F.col("l"))).cast(big).alias("sr"),
-        F.sum(1 - F.col("l")).cast("bigint").alias("cr"),
+    perm16 = lab4.groupBy("g").agg(
+        *[
+            a
+            for w in range(4)
+            for a in (
+                F.sum(F.col("x") * F.col(f"l{w}"))
+                .cast("bigint")
+                .alias(f"sa{w}"),
+                F.sum(f"l{w}").cast("bigint").alias(f"ca{w}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(f"CAST({w} AS BIGINT), sa{w}, ca{w}" for w in range(4))
+    tot = obs.selectExpr("sa + sr AS sall", "ca + cr AS nall")
+    perm = (
+        perm16.selectExpr(
+            "g", f"stack(4, {stack_args}) AS (w, sa, ca)"
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "4 * g + w AS b",
+            "sa",
+            "ca",
+            "CAST(sall - sa AS DECIMAL(38,0)) AS sr",
+            "CAST(nall - ca AS BIGINT) AS cr",
+        )
     )
     ext = (
         perm.crossJoin(F.broadcast(o2))

@@ -55,12 +55,14 @@ def test_permutation_test_matches_hashlib_replay(spark):
     sr, cr = int((x * (1 - ia)).sum()), n - n1
     obs = float(sa) / float(ca) - float(sr) / float(cr)
     n_extreme = 0
+    hexes = {
+        g: [hashlib.md5(f"{ki}|{g}".encode()).hexdigest() for ki in k]
+        for g in range(16)
+    }
     for b in range(64):
+        g, w = b // 4, b % 4
         lab = np.array(
-            [
-                int(hashlib.md5(f"{ki}|{b}".encode()).hexdigest()[:8], 16) < t32
-                for ki in k
-            ],
+            [int(hx[8 * w : 8 * w + 8], 16) < t32 for hx in hexes[g]],
             dtype=np.int64,
         )
         psa, pca = int((x * lab).sum()), int(lab.sum())
