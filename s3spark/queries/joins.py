@@ -191,20 +191,28 @@ ORDER BY r_name, n_name
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join (region→nation→customer→orders→lineitem).
 
-    Catalyst broadcasts region/nation/customer (small dims) and
-    sort-merges orders⋈lineitem on the shared key; CBO/AQE reorder so
-    the fact table shuffles at most once."""
+    The dim chain (region⋈nation⋈customer — |customers| rows) is
+    EXPLICITLY broadcast into orders, and orders⋈lineitem sort-merges
+    on the shared key, so each fact shuffles at most once and no fact
+    is ever a broadcast build side.  The explicit hint matters:
+    compressed columnar stats can under-estimate a replicated fact
+    below spark.sql.autoBroadcastJoinThreshold, and Catalyst then
+    builds a multi-million-row hash relation per task (observed 5.5×
+    wall-clock at the 10× scale-stress step before the hint — the
+    size-estimate trap a 100 TB plan must not be one stats-miss away
+    from)."""
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = r.join(n, n.n_regionkey == r.r_regionkey).join(
+        c, c.c_nationkey == n.n_nationkey
+    )
+    fact = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
     return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(fact, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),

@@ -207,10 +207,18 @@ def build(spark) -> None:
     lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
     OFF = 10_000_000
+    # repartition(32) before write: the replicated fact snappy-compresses
+    # ~10x (identical repeated blocks), so without it the whole sf1 fact
+    # lands in ONE <128MB part file -> every sf1 scan becomes a single
+    # input split and the 10x ratios measure task-serialization, not
+    # per-row cost (observed: join_multiway 10.5s -> 79.8s purely from
+    # a 1-file layout).  A real sf1 dataset is many files; make the
+    # harness representative and deterministic.
     (
         orders.crossJoin(reps)
         .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * OFF)
         .drop("rep")
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{DST}/orders.parquet")
     )
@@ -218,6 +226,7 @@ def build(spark) -> None:
         lineitem.crossJoin(reps)
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * OFF)
         .drop("rep")
+        .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{DST}/lineitem.parquet")
     )
@@ -252,12 +261,16 @@ def main() -> None:
                     "spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark)
     # warm
     REGISTRY["agg_groupby"].fn(spark, SRC).write.format("noop").mode(
         "overwrite"
     ).save()
+    # measure the small scale BEFORE the heavy replica build: the build
+    # leaves the JVM heap/GC churning and was observed to inflate the
+    # immediately-following small-scale medians 3-5x, corrupting ratios
+    # in both directions
     small = time_keys(spark, SRC)
+    build(spark)
     big = time_keys(spark, DST)
     ratios = {k: round(big[k] / small[k], 2) for k in small}
     doc_small = time_keys(spark, DOC_SMALL, DOC_KEYS)

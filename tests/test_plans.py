@@ -406,6 +406,35 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
     assert not offenders, f"undeclared nested-loop join in: {offenders}"
 
 
+def test_join_multiway_builds_dims_never_facts(spark, sf_dir):
+    """The star join's dim-side broadcast must be UNCONDITIONAL (the
+    explicit hint), not a size-estimate outcome: compressed columnar
+    stats can under-estimate a fact below autoBroadcastJoinThreshold
+    (observed at the 10× scale-stress step: Catalyst built the
+    replicated orders side as a hash relation — 20× wall-clock).
+    With auto-broadcast DISABLED, the dim chain must still broadcast
+    (the hint survives) and the orders⋈lineitem edge must shuffle —
+    the shape a 100 TB plan needs regardless of stats quality.
+    Conf-gated save/restore, the skew-test pattern."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_dir, "join_multiway")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the explicit dims hint survives; the fact-fact edge shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # lineitem is never on a broadcast build side
+    assert "BroadcastExchange" in plan
+    for seg in plan.split("BroadcastExchange")[1:]:
+        head = seg[:600]
+        assert "lineitem" not in head.split("SortMergeJoin")[0].split(
+            "ShuffledHashJoin"
+        )[0], "fact on a broadcast build: " + head[:200]
+
+
 def test_aqe_skew_join_splits_hot_partitions(spark, sf_dir):
     """AQE skew-join handling is the runtime defense the cluster
     profile relies on (manual salting keys are the deterministic
