@@ -123,9 +123,11 @@ _WITNESSED_R1_R2 = frozenset({
 # re-records them.  Maintained by hand per round — add a key here when
 # rewriting it, remove it once a post-rewrite CORRECTNESS row lands.
 _DIRTY_KEYS = frozenset({
-    # Round-6's tokenizer_vocab_coverage rewrite (orderBy().limit()
-    # top-K) landed a green CORRECTNESS_r06 row on the rewritten code
-    # and was cleared per the rotation protocol.  Currently empty.
+    # Rewritten in round 7: explicit dim-chain broadcast + SMJ fact
+    # edge (the compressed-stats fact-broadcast trap; see
+    # ROUND_NOTES.md round-7 scale-stress finding).  Its r2-era green
+    # row predates the change — re-witness before clearing.
+    "join_multiway",
 })
 
 

@@ -154,7 +154,13 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_a")).cast("bigint").alias("cr"),
     )
     o2 = obs.selectExpr(f"{_PERM_DIFF} AS obs_diff")
-    e = v.selectExpr(
+    # spread the CPU-bound x16 fan-out across the full task width
+    # BEFORE exploding: the base rows are cheap to shuffle relative to
+    # the md5 work they fan into, and the scan's input-split count (a
+    # file-layout accident — one compact parquet file = one task) must
+    # not cap the parallelism of 16x its rows
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = v.repartition(nparts).selectExpr(
         "k", "x", f"explode(sequence(0, {_PERM_B // 4 - 1})) AS g"
     )
     h = e.selectExpr(
