@@ -123,11 +123,22 @@ _WITNESSED_R1_R2 = frozenset({
 # re-records them.  Maintained by hand per round — add a key here when
 # rewriting it, remove it once a post-rewrite CORRECTNESS row lands.
 _DIRTY_KEYS = frozenset({
-    # Rewritten in round 7: explicit dim-chain broadcast + SMJ fact
-    # edge (the compressed-stats fact-broadcast trap; see
-    # ROUND_NOTES.md round-7 scale-stress finding).  Its r2-era green
-    # row predates the change — re-witness before clearing.
+    # Rewritten AGAIN in round 8 (round-7 ADVICE): the unconditional
+    # customer-chain broadcast traded a stats hazard for a guaranteed
+    # OOM at large SF — now only region⋈nation broadcasts and both
+    # fact edges carry MERGE hints.  Its green r7 row predates this.
     "join_multiway",
+    # Round 8: dropped the trailing full-output global orderBy (the
+    # only super-linear scale-panel key, 12.95× at 10× docs).
+    "doc_chunk_overlap",
+    # Round 8: shared prefix-sum helper promoted to _prefix.py with
+    # the overflow-safe division-only bucket formula (values are
+    # provably bucket-boundary-independent, but the code changed).
+    "stats_mann_whitney_u",
+    "timeseries_theil_sen",
+    # Round 8: helper change above + dropped the forced x-rank-map
+    # broadcast hint (its size grows with SF; auto-broadcast decides).
+    "stats_spearman_corr",
 })
 
 

@@ -1,0 +1,71 @@
+"""Shared two-level distributed prefix-sum helper.
+
+Used by the rank statistics (``stats_mann_whitney_u``,
+``stats_spearman_corr`` in pipeline16 and ``timeseries_theil_sen`` in
+pipeline17) — promoted out of pipeline16 so no module imports another
+pipeline's underscore-private symbol.  The scheme is the
+``stats_ks_two_sample`` global-cumsum recipe: per-bucket windows plus a
+bounded broadcast offset table, never a single-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s3spark.io import scratch_dir
+
+RANK_NB = 64
+
+
+def with_cum_less(spark: SparkSession, cells: DataFrame, tag: str) -> DataFrame:
+    """Attach ``cum_less`` (number of rows with a strictly smaller
+    value) to a per-distinct-value cell table ``(v BIGINT, cnt BIGINT,
+    ...)`` WITHOUT a single-partition sort: cells are materialized to
+    scratch (the bucketed table has two consumers — local windows and
+    bucket totals — and Spark plans are trees, so the subtree below it
+    is duplicated; materializing makes both copies a bounded scratch
+    scan instead of a fact replay), bucket ids derive from the 1-row
+    min/max broadcast (a COLUMN property, so
+    partition-count-independent), per-bucket windows compute local
+    exclusive prefix sums, and a ≤64-row broadcast offset table carries
+    the bucket totals across.
+
+    Bucket ids use division-only arithmetic —
+    ``(v - lo) div ((hi - lo) div NB + 1)`` — because the multiply-first
+    form ``((v - lo) * NB) div (hi - lo + 1)`` overflows BIGINT once the
+    value range passes 2^63/NB ≈ 1.4·10^17 (theil-sen's micro-cent
+    slope range reaches ~1e17 at the 10× scale step).  The width
+    ``(hi - lo) div NB + 1`` exceeds ``(hi - lo) / NB``, so
+    ``(v - lo) div width ≤ NB - 1`` always; bucket ids stay monotone in
+    ``v`` and the prefix sums are bucket-boundary-independent, so the
+    two formulas produce identical cum_less values where both are in
+    range."""
+    path = scratch_dir(tag) + "/cells"
+    cells.write.mode("overwrite").parquet(path)
+    cell = spark.read.parquet(path)
+    stats = cell.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    withb = (
+        cell.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "*",
+            f"(v - lo) div ((hi - lo) div {RANK_NB} + 1) AS bkt",
+        )
+        .drop("lo", "hi")
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = withb.withColumn("lc", F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
+    btot = withb.groupBy("bkt").agg(F.sum("cnt").alias("tc"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "bkt", F.coalesce(F.sum("tc").over(woff), F.lit(0)).alias("offc")
+    )
+    return (
+        local.join(F.broadcast(off), "bkt")
+        .withColumn("cum_less", (F.col("offc") + F.col("lc")).cast("bigint"))
+        .drop("lc", "offc", "bkt")
+    )

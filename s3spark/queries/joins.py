@@ -191,28 +191,32 @@ ORDER BY r_name, n_name
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join (region→nation→customer→orders→lineitem).
 
-    The dim chain (region⋈nation⋈customer — |customers| rows) is
-    EXPLICITLY broadcast into orders, and orders⋈lineitem sort-merges
-    on the shared key, so each fact shuffles at most once and no fact
-    is ever a broadcast build side.  The explicit hint matters:
-    compressed columnar stats can under-estimate a replicated fact
-    below spark.sql.autoBroadcastJoinThreshold, and Catalyst then
-    builds a multi-million-row hash relation per task (observed 5.5×
-    wall-clock at the 10× scale-stress step before the hint — the
-    size-estimate trap a 100 TB plan must not be one stats-miss away
-    from)."""
+    Only the BOUNDED dims broadcast: region⋈nation is ≤30 rows at any
+    scale factor and is explicitly broadcast into customer.  Customer
+    is NOT broadcast — |customers| = 150k·SF grows linearly with scale
+    (≈15 B rows at the 100 TB design point, far past Spark's 8 GB
+    broadcast-relation limit), so the customer⋈orders and
+    orders⋈lineitem edges carry explicit MERGE hints: each fact
+    sort-merges on its key regardless of stats quality.  The explicit
+    hints matter in BOTH directions — compressed columnar stats can
+    under-estimate a replicated fact below
+    spark.sql.autoBroadcastJoinThreshold and Catalyst then builds a
+    multi-million-row hash relation per task (observed 20× wall-clock
+    at the 10× scale-stress step), while an unconditional broadcast of
+    an unbounded dim is a guaranteed driver OOM at large SF.  The
+    conf-pinned plan gate (tests/test_plans.py) asserts no fact and no
+    customer row ever lands on a broadcast build side."""
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    dims = r.join(n, n.n_regionkey == r.r_regionkey).join(
-        c, c.c_nationkey == n.n_nationkey
-    )
-    fact = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+    rn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    dims = c.join(F.broadcast(rn), c.c_nationkey == F.col("n_nationkey"))
+    fact = o.join(dims.hint("merge"), o.o_custkey == F.col("c_custkey"))
     return (
-        li.join(fact, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(fact.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),

@@ -29,7 +29,7 @@ per the north star's analytics + training-data mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3spark.io import scratch_dir, table
@@ -164,55 +164,12 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# two-level distributed prefix-sum helper (shared by Mann-Whitney and
-# Spearman — the stats_ks_two_sample scheme, factored)
+# two-level distributed prefix-sum helper (shared by Mann-Whitney,
+# Spearman, and pipeline17's theil-sen — lives in _prefix.py so no
+# pipeline imports another pipeline's private symbol)
 # --------------------------------------------------------------------------
 
-_RANK_NB = 64
-
-
-def _with_cum_less(spark: SparkSession, cells: DataFrame, tag: str) -> DataFrame:
-    """Attach ``cum_less`` (number of rows with a strictly smaller
-    value) to a per-distinct-value cell table ``(v BIGINT, cnt BIGINT,
-    ...)`` WITHOUT a single-partition sort: cells are materialized to
-    scratch (the bucketed table has two consumers — local windows and
-    bucket totals — and Spark plans are trees, so the subtree below it
-    is duplicated; materializing makes both copies a bounded scratch
-    scan instead of a fact replay), bucket
-    ids derive from the 1-row min/max broadcast (a COLUMN property, so
-    partition-count-independent), per-bucket windows compute local
-    exclusive prefix sums, and a ≤64-row broadcast offset table carries
-    the bucket totals across.  This is the stats_ks_two_sample cumsum
-    scheme, factored for reuse."""
-    path = scratch_dir(tag) + "/cells"
-    cells.write.mode("overwrite").parquet(path)
-    cell = spark.read.parquet(path)
-    stats = cell.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    withb = (
-        cell.crossJoin(F.broadcast(stats))
-        .selectExpr(
-            "*",
-            f"least(CAST({_RANK_NB - 1} AS BIGINT), "
-            f"((v - lo) * {_RANK_NB}) div (hi - lo + 1)) AS bkt",
-        )
-        .drop("lo", "hi")
-    )
-    wb = (
-        Window.partitionBy("bkt")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = withb.withColumn("lc", F.coalesce(F.sum("cnt").over(wb), F.lit(0)))
-    btot = withb.groupBy("bkt").agg(F.sum("cnt").alias("tc"))
-    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    off = btot.select(
-        "bkt", F.coalesce(F.sum("tc").over(woff), F.lit(0)).alias("offc")
-    )
-    return (
-        local.join(F.broadcast(off), "bkt")
-        .withColumn("cum_less", (F.col("offc") + F.col("lc")).cast("bigint"))
-        .drop("lc", "offc", "bkt")
-    )
+from s3spark.queries._prefix import with_cum_less as _with_cum_less  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -437,10 +394,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables and the rank-join — would each replay the scan otherwise:
     Spark plans are trees); each rank map derives from a
     distinct-bounded map-side-combined cell shuffle + the two-level
-    prefix scheme; rows join the x-map (explicit broadcast — the
-    distinct-price-bounded map stays far under executor memory) and
-    the y-map (hash equi-join, the ONE fact-wide shuffle); the fold
-    is a constant-width reduction."""
+    prefix scheme; rows join both rank maps via plain hash equi-joins
+    — no forced broadcast hint, because the x map's size is the
+    distinct-price count, which GROWS with part cardinality (i.e. with
+    scale factor): Catalyst auto-broadcasts it while it fits under the
+    threshold and falls back to a shuffle join when it doesn't, instead
+    of an unconditional hint that cannot back off; the fold is a
+    constant-width reduction."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_discount", "l_tax"
     )
@@ -462,7 +422,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("y"),
         (F.lit(2) * F.col("cum_less") + F.col("cnt") + 1).alias("ry"),
     )
-    j = r.join(F.broadcast(mx), "x").join(my, "y").select("rx", "ry")
+    j = r.join(mx, "x").join(my, "y").select("rx", "ry")
     big = "decimal(38,0)"
     # distinct counts come from the CELL tables (bounded, map-side
     # reductions over the rows scratch) instead of a COUNT(DISTINCT)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s3spark.io import scratch_dir, table
-from s3spark.queries.pipeline16 import _with_cum_less
+from s3spark.queries._prefix import with_cum_less as _with_cum_less
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------

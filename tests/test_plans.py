@@ -407,15 +407,17 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
 
 
 def test_join_multiway_builds_dims_never_facts(spark, sf_dir):
-    """The star join's dim-side broadcast must be UNCONDITIONAL (the
-    explicit hint), not a size-estimate outcome: compressed columnar
-    stats can under-estimate a fact below autoBroadcastJoinThreshold
-    (observed at the 10× scale-stress step: Catalyst built the
-    replicated orders side as a hash relation — 20× wall-clock).
-    With auto-broadcast DISABLED, the dim chain must still broadcast
-    (the hint survives) and the orders⋈lineitem edge must shuffle —
-    the shape a 100 TB plan needs regardless of stats quality.
-    Conf-gated save/restore, the skew-test pattern."""
+    """The star join broadcasts ONLY the bounded dims (region⋈nation,
+    ≤30 rows at any SF) and sort-merges the unbounded edges — the
+    shape a 100 TB plan needs regardless of stats quality, in BOTH
+    directions: a stats under-estimate must not put a fact on a hash
+    build side (observed 20× wall-clock at the 10× scale-stress step),
+    and an unconditional hint must not broadcast customer, whose
+    150k·SF rows guarantee a driver OOM at large SF.  With
+    auto-broadcast DISABLED the bounded-dim hint must survive, both
+    fact edges must shuffle, and neither lineitem, orders, nor
+    customer may appear under a BroadcastExchange.  Conf-gated
+    save/restore, the skew-test pattern."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -423,16 +425,21 @@ def test_join_multiway_builds_dims_never_facts(spark, sf_dir):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    # the explicit dims hint survives; the fact-fact edge shuffles
+    # the explicit bounded-dim hint survives; both fact edges shuffle
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    # lineitem is never on a broadcast build side
+    assert (
+        plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
+    ), "customer⋈orders and orders⋈lineitem must both shuffle"
+    # no unbounded table is ever on a broadcast build side: in the tree
+    # rendering a BroadcastExchange's build subtree follows it until the
+    # next shuffle-join operator
     assert "BroadcastExchange" in plan
     for seg in plan.split("BroadcastExchange")[1:]:
-        head = seg[:600]
-        assert "lineitem" not in head.split("SortMergeJoin")[0].split(
-            "ShuffledHashJoin"
-        )[0], "fact on a broadcast build: " + head[:200]
+        head = seg[:600].split("SortMergeJoin")[0].split("ShuffledHashJoin")[0]
+        for tbl in ("lineitem", "orders", "customer"):
+            assert tbl not in head, (
+                f"unbounded table {tbl} on a broadcast build: " + head[:200]
+            )
 
 
 def test_aqe_skew_join_splits_hot_partitions(spark, sf_dir):
