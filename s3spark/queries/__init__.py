@@ -139,6 +139,100 @@ _DIRTY_KEYS = frozenset({
     # Round 8: helper change above + dropped the forced x-rank-map
     # broadcast hint (its size grows with SF; auto-broadcast decides).
     "stats_spearman_corr",
+# Round 8: the registry-wide trailing-sort audit removed the
+# decorative full-output global orderBy from every row-count-scale
+# key (see ROUND_NOTES.md round-8 table).  Values are order-
+# insensitive under the driver hash, but the code changed, so each
+# needs a fresh witness.  Exceeds one ~50-key window; the rotation
+# fronts them and the remainder re-witnesses in round 9.
+    "agg_having",
+    "array_set_algebra",
+    "attribution_last_touch",
+    "cdc_apply_tombstones",
+    "dedup_exact",
+    "dedup_keep_latest",
+    "dedup_minhash_survivors",
+    "dedup_simhash",
+    "dedup_url_canonical",
+    "doc_boilerplate_strip",
+    "doc_fingerprint",
+    "doc_segment_dedup",
+    "embedding_quantize_int8",
+    "feature_target_encode",
+    "filter_rlike",
+    "generator_explode_outer",
+    "graph_bfs_distance",
+    "incremental_agg_maintenance",
+    "interval_coalesce",
+    "interval_max_concurrency",
+    "interval_subtract_measure",
+    "join_asof",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_fuzzy_edit_distance",
+    "join_interval_overlap",
+    "join_null_safe",
+    "join_pit_features",
+    "join_scd2_point_in_time",
+    "join_spatial_grid",
+    "mm_audio_fingerprint_dedup",
+    "mm_binary_meta",
+    "mm_decode_png",
+    "mm_frame_sample_wav",
+    "mm_image_phash_dedup",
+    "mm_image_resize",
+    "pack_sequences_greedy",
+    "project_rename_enumerate",
+    "quality_classifier_hashed",
+    "quality_gopher_rules",
+    "sample_hash_based",
+    "scalar_binary_encode",
+    "scalar_bitwise",
+    "scalar_conditional",
+    "scalar_datetime_extended",
+    "scalar_hash_json",
+    "scalar_json_malformed",
+    "scalar_string_extended",
+    "scalar_try_error_safe",
+    "scalar_url_parse",
+    "scan_text_regex_parse",
+    "scan_xml",
+    "scd2_dimension",
+    "sessionize_gaps",
+    "set_union_missing_columns",
+    "sim_ann_lsh",
+    "split_leakage_safe",
+    "stream_session",
+    "subquery_above_avg",
+    "subquery_scalar_global",
+    "text_bigram_logprob",
+    "text_bm25_rank",
+    "text_edit_distance",
+    "text_lang_quality",
+    "text_langid_char_ngram",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "text_stats",
+    "text_tfidf_topterms",
+    "text_token_bpe",
+    "text_unicode_normalize",
+    "text_unigram_logprob",
+    "timeseries_downsample_lttb",
+    "timeseries_gapfill",
+    "timeseries_interpolate_linear",
+    "timeseries_ohlc_bars",
+    "tokenizer_vocab_coverage",
+    "udf_arrow_map",
+    "udtf_python_custom",
+    "window_count_distinct",
+    "window_cumulative_reset",
+    "window_distribution",
+    "window_forward_fill",
+    "window_islands_value_runs",
+    "window_moving_zscore",
+    "window_pattern_match",
+    "window_rolling_median",
+    "window_time_decay",
 })
 
 

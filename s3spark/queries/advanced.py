@@ -181,7 +181,7 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union(a, b)).cast("long").alias("n_union"),
         F.size(F.array_except(a, b)).cast("long").alias("n_except"),
         F.size(a).cast("long").alias("seq_len"),
-    ).orderBy("p_partkey")
+    )
 
 
 @register(

@@ -258,5 +258,4 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_spent"),
         )
         .filter((F.col("n_orders") >= 5) & (F.col("total_spent") > 100000))
-        .orderBy("o_custkey")
     )

@@ -224,7 +224,6 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(avg, o.o_custkey == avg.k)
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -251,7 +250,6 @@ def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
                  / COUNT(*) * 1.7
           FROM s3spark_orders_sq)
-        ORDER BY o_orderkey
         """
     )
 

@@ -144,7 +144,6 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 60000000
             ).alias("minutes_before"),
         )
-        .orderBy("purchase_id")
     )
 
 
@@ -224,7 +223,6 @@ def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id", "session_no")
     )
 
 
@@ -279,7 +277,6 @@ def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("path").like("%v%c%p%").alias("converted"),
             F.length("path").cast("long").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -338,4 +335,4 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    return merged.orderBy("user_id", "day")
+    return merged

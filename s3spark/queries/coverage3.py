@@ -77,7 +77,6 @@ def scan_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_words"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -109,4 +108,4 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY")).alias("query"),
-    ).orderBy("doc_id")
+    )

@@ -103,7 +103,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # a pair overlapping across 2 shared bands matches twice
     )
-    return pairs.orderBy("o_orderkey", "l_orderkey", "l_linenumber", "ship")
+    return pairs
 
 
 _CAPPED_JACCARD_SQL = """

@@ -153,7 +153,6 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             nearest.alias("nearest_purchase_ts"),
             dist.alias("dist_us"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -239,7 +238,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -333,7 +331,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-    return dist.orderBy("node")
+    return dist
 
 
 # --------------------------------------------------------------------------
@@ -447,5 +445,4 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
         .select("user_id", "bucket", "ts", "value")
-        .orderBy("user_id", "bucket")
     )

@@ -99,7 +99,6 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("bin_chars"),
         )
-        .orderBy("source", "bin")
     )
 
 
@@ -204,5 +203,4 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.groupBy("curl")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_dups") > 1)
-        .orderBy("curl")
     )

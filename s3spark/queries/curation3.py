@@ -290,7 +290,6 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(F.broadcast(drops), "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -418,4 +417,4 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_ttr.alias("ok_ttr"),
         ok_stop.alias("ok_stopwords"),
         (ok_len & ok_word_len & ok_ttr & ok_stop).alias("keep"),
-    ).orderBy("doc_id")
+    )

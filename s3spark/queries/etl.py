@@ -49,7 +49,6 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("ts").over(w).alias("valid_to"),
             F.lead("ts").over(w).isNull().alias("is_current"),
         )
-        .orderBy("user_id", "valid_from", "state")
     )
 
 
@@ -284,7 +283,6 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac, 6).alias("top_bigram_frac"),
             (frac > 0.1).alias("is_repetitive"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -127,7 +127,6 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 

@@ -60,7 +60,6 @@ def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("source").rlike(r"^src1\d$"))
         .select("doc_id", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -104,4 +103,4 @@ def project_rename_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = F.when(
         cnt > 1, naming.col_enumerate_name(name, n)
     ).otherwise(name)
-    return docs.select("doc_id", dest.alias("dest_name")).orderBy("doc_id")
+    return docs.select("doc_id", dest.alias("dest_name"))

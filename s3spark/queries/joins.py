@@ -311,5 +311,4 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.filter(F.col("kind") == 1)
         .select("event_id", "user_id", "ts", "last_purchase_ts")
-        .orderBy("event_id")
     )

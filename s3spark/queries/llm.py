@@ -75,7 +75,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .orderBy("keeper_doc_id")
     )
 
 
@@ -414,7 +413,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, term: acc.bitwiseXOR(term),
     )
-    return d.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+    return d.select("doc_id", sig.alias("simhash"))
 
 
 _EMB_COS_SQL = """
@@ -580,7 +579,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.vec_id").alias("neighbor_id"),
             F.round("l2_dist", 6).alias("l2_dist"),
         )
-        .orderBy("query_id", "l2_dist", "neighbor_id")
     )
 
 
@@ -767,7 +765,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens, 6
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -811,7 +809,7 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("stopword_ratio"),
         F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_guess"),
         F.round(quality, 6).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -843,7 +841,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: F.length(t) >= 5))
         .cast("long")
         .alias("n_long"),
-    ).orderBy("doc_id")
+    )
 
 
 _EDGE_DRIVER_CAP = 2_000_000
@@ -1004,5 +1002,4 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("doc_id")
         .agg((F.sum(term) % 1000000007).alias("fingerprint"))
-        .orderBy("doc_id")
     )

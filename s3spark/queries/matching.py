@@ -111,7 +111,6 @@ def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
         .filter(F.col("dist") <= 1)
         .select("k1", "k2", "name1", "name2", "dist")
-        .orderBy("k1", "k2")
     )
 
 
@@ -213,7 +212,6 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms"),
             F.round(total, 6).alias("bm25"),
         )
-        .orderBy("doc_id")
     )
 
 

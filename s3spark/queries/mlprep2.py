@@ -259,5 +259,4 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 6).alias("low"),
             F.max_by("value", key).alias("close"),
         )
-        .orderBy("user_id", "bar_ts")
     )

@@ -227,7 +227,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 _PX = "(i % (8 + doc_id % 25) + 3*(i // (8 + doc_id % 25)) + doc_id) % 256"
@@ -287,7 +287,7 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, bit_depth int,"
         " color_type int, n_pixels long, pixel_sum long"
     )
-    return b.mapInPandas(decode_batches, schema=schema).orderBy("doc_id")
+    return b.mapInPandas(decode_batches, schema=schema)
 
 
 _THUMB_PX = (
@@ -344,7 +344,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return b.mapInPandas(
         resize_batches, schema="doc_id long, thumb_sum long, center_px int"
-    ).orderBy("doc_id")
+    )
 
 
 _FRAME_SQL = f"""
@@ -399,9 +399,7 @@ def mm_frame_sample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_no int, sample_offset long,"
         " sample_value int, n_frames long, sample_rate int"
     )
-    return b.mapInPandas(sample_batches, schema=schema).orderBy(
-        "doc_id", "frame_no"
-    )
+    return b.mapInPandas(sample_batches, schema=schema)
 
 
 # ------------------------------------------------------- perceptual-hash dedup
@@ -542,7 +540,6 @@ def _band_self_join_hamming(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= ham_max)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
 
 

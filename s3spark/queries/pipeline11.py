@@ -142,7 +142,6 @@ def interval_subtract_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
             blacked.alias("blacked_us"),
             (active - blacked).alias("effective_us"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -201,7 +200,7 @@ def window_cumulative_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "segment",
         F.sum("v").over(w2).cast("double").alias("cum_since_reset"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -75,7 +75,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
         ).alias("scrubbed"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -140,7 +140,6 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("q_csv"),
         )
-        .orderBy("vec_id")
     )
 
 

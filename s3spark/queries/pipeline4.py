@@ -291,7 +291,6 @@ def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "label", F.when(F.col("margin_micro") > 0, 1).otherwise(0)
         )
-        .orderBy("doc_id")
     )
 
 
@@ -708,7 +707,6 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("user_id", "event_id", "ts", "event_type")
-        .orderBy("user_id")
     )
 
 
@@ -895,7 +893,6 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lp", 6).alias("last_purchase_value"),
             F.round("lc", 6).alias("last_click_value"),
         )
-        .orderBy("event_id")
     )
 
 

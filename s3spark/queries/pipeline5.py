@@ -391,7 +391,6 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -465,7 +464,6 @@ def doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.coalesce("n_boiler", F.lit(0))
             ).alias("n_kept"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -643,5 +641,4 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", "user_id", "ts", "state_at_purchase", "state_since"
         )
-        .orderBy("event_id")
     )

@@ -104,7 +104,6 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test")
             .alias("split"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -174,7 +173,6 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("oov_rate"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -486,7 +484,7 @@ def text_langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(score >= _LANGID_TAU, "en").otherwise("unk").alias(
             "lang_guess"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -537,7 +535,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rolling_median"),
         F.count(F.lit(1)).over(w).alias("n_window"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -653,7 +651,6 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(F.sqrt(d2), 6).alias("dist"),
         )
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -804,4 +801,4 @@ def scalar_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
         F.length(b64).alias("b64_len"),
-    ).orderBy("c_custkey")
+    )

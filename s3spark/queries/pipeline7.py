@@ -197,7 +197,6 @@ def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(span).cast("long").alias("covered_secs"),
             F.max(span).cast("long").alias("longest_secs"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -326,7 +325,6 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(nfc).cast("int").alias("len_after"),
         )
         .withColumn("changed", F.col("len_after") < F.col("len_before"))
-        .orderBy("c_custkey")
     )
 
 
@@ -384,7 +382,6 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("loo_enc"),
         )
-        .orderBy("o_orderkey")
     )
 
 

@@ -187,7 +187,6 @@ def sweep_max_concurrency(ev: DataFrame, end_expr: str) -> DataFrame:
                 "n_sessions"
             ),
         )
-        .orderBy("user_id")
     )
 
 

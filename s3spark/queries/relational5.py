@@ -203,7 +203,6 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("distinct_types_so_far"),
         )
-        .orderBy("user_id", "ts", "event_id")
     )
 
 
@@ -283,7 +282,6 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("last_purchase_ts").isNotNull() & ~fresh
             ).alias("is_stale"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -156,7 +156,6 @@ def window_islands_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "island_end",
             "run_len",
         )
-        .orderBy("o_custkey", "island_start")
     )
 
 
@@ -281,7 +280,7 @@ def timeseries_interpolate_linear(
     )
     return nbr.select(
         "user_id", "day", F.round(interp, 6).alias("v_interp")
-    ).orderBy("user_id", "day")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -49,7 +49,7 @@ def scalar_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed["k"].alias("k_parsed"),
         parsed["k"].isNull().alias("is_corrupt"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -76,7 +76,6 @@ def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.filter(bucket < 10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 

@@ -44,7 +44,7 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_nvl"),
         ((F.col("c_acctbal") > 0) & (F.col("c_nationkey") < 10)).alias("flag_and"),
         ((F.col("c_acctbal") < 0) | (F.col("c_nationkey") == 0)).alias("flag_or"),
-    ).orderBy("c_custkey")
+    )
 
 
 @register(
@@ -74,7 +74,7 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(21845)).alias("xored"),
         F.shiftleft(k, 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -108,7 +108,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_acctbal", 3).over(wfull).alias("third_bal"),
-    ).orderBy("c_custkey")
+    )
 
 
 @register(
@@ -135,7 +135,7 @@ def scalar_hash_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang"))
         ).alias("meta_json"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -173,5 +173,4 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.levenshtein("ta", "tb").cast("long").alias("lev80"),
         )
-        .orderBy("doc_a", "doc_b")
     )

@@ -51,7 +51,7 @@ def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
         F.expr("left(text, 10)").alias("head"),
         F.expr("right(source, 2)").alias("tail"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -88,7 +88,7 @@ def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(F.col("ts").cast("date"), 1).cast("timestamp").alias("next_month"),
         F.date_trunc("month", "ts").alias("month_start"),
         F.date_format("ts", "yyyy-MM").alias("ym"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -184,7 +184,6 @@ def window_moving_zscore(spark, sf_dir):
                 F.lit(False),
             ).alias("is_anomaly"),
         )
-        .orderBy("event_id")
     )
 
 

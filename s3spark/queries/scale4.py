@@ -442,5 +442,4 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "doc")
         .schema("doc_id bigint, lang string, source string, n_chars bigint")
         .load(out)
-        .orderBy("doc_id")
     )

@@ -90,7 +90,6 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("user_id")
     )
 
 

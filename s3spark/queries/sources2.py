@@ -105,7 +105,6 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(r), l.grp.eqNullSafe(r.grp))
         .select("o_orderkey", "bonus")
-        .orderBy("o_orderkey")
     )
 
 

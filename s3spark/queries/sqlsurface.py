@@ -102,7 +102,6 @@ SELECT doc_id,
                     3037000500 + doc_id % 2) AS safe_mul,
        try_element_at(split(text, ' '), 50) AS token50
 FROM s3spark_try_documents
-ORDER BY doc_id
 """
 
 

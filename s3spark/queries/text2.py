@@ -64,7 +64,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -160,5 +159,4 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.withColumn("rk", rk.cast("long"))
         .filter((F.col("rk") <= 3) & (F.col("doc_id") < 200))
         .select("doc_id", "word", F.round("w", 6).alias("tfidf"), "rk")
-        .orderBy("doc_id", "rk")
     )

@@ -65,7 +65,6 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
-        .orderBy("user_id", "day")
     )
 
 
@@ -109,7 +108,6 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.last("price_or_null", ignorenulls=True).over(w).alias("price_ffill"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -139,7 +137,6 @@ def generator_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.split(F.substring("text", 1, 30), " "))
     return (
         d.select("doc_id", F.explode_outer(toks).alias("tok"))
-        .orderBy("doc_id", F.asc_nulls_first("tok"))
     )
 
 
@@ -207,9 +204,7 @@ def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"),
         F.col("s_suppkey"),
     )
-    return c.unionByName(s, allowMissingColumns=True).orderBy(
-        "entity_id", "name"
-    )
+    return c.unionByName(s, allowMissingColumns=True)
 
 
 @register(
@@ -270,5 +265,4 @@ def window_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.exp(-0.01 * F.col("h")) * F.col("s").cast("double"), 6
             ).alias("decayed_value"),
         )
-        .orderBy("user_id", "event_id")
     )

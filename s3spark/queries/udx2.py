@@ -63,7 +63,7 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = li.mapInArrow(
         charge_batches, schema="l_orderkey long, l_linenumber int, charge double"
     )
-    return out.orderBy("l_orderkey", "l_linenumber")
+    return out
 
 
 @register(
@@ -101,6 +101,5 @@ def udtf_python_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.word, t.idx
         FROM docs_for_udtf d,
              LATERAL s3spark_tokenize(d.text) t
-        ORDER BY d.doc_id, t.idx
         """
     )

@@ -289,6 +289,23 @@ def main() -> None:
         "sf0.01->sf0.1 10x growth",
         "note": "ratio << 10 means fixed overhead amortizes; "
         "plans unchanged",
+        # Near-linear-by-nature keys (round-7 verdict item 6): one-line
+        # inherent-cost justifications so future rounds don't
+        # re-litigate panel ratios that are per-row work, not plan
+        # defects.
+        "key_notes": {
+            "stats_bootstrap_ci_poisson": "inherently ~linear: 64 "
+            "Poisson resample weights evaluated per input row — work "
+            "is 64x row count by construction",
+            "text_keyword_rake": "inherently ~linear: phrase instances "
+            "are per-row text fan-out; corpus-stat joins stay bounded",
+            "window_count_distinct": "inherently ~linear: the rolling "
+            "distinct frame re-evaluates per event row; one user-keyed "
+            "exchange, no cross-row blow-up",
+            "agg_bitmap_distinct": "inherently linear in DISTINCT keys: "
+            "the 10x fact replication multiplies distinct orderkeys "
+            "10x, so ~10 is exact-linear behavior, not a regression",
+        },
     }
     print(json.dumps(result))
     # committed artifact (round-5 verdict consolidation item): the

@@ -273,12 +273,15 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     assert agg_lines and all("ngram#" not in ln for ln in agg_lines)
 
 
-def test_chunking_is_shuffle_free_before_output_sort(spark, sf_dir):
-    """Chunking must be row-local (Scan -> Generate -> Project): the
-    only exchange is the range partitioning for the output ORDER BY."""
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking must be row-local (Scan -> Generate -> Project) with
+    ZERO exchanges: round 8 dropped the trailing presentational
+    orderBy, which range-shuffled ~1.33x the corpus text and made this
+    the only super-linear scale-panel key (12.95x at 10x docs).
+    Chunking 100 TB is exactly as parallel as scanning it."""
     plan = plan_of(spark, sf_dir, "doc_chunk_overlap")
     assert "Generate explode" in plan
-    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    assert plan.count("Exchange") == 0
 
 
 def test_ivf_assignment_is_mapside_argmax(spark, sf_dir):
