@@ -139,6 +139,12 @@ def main() -> None:
             spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
         else:
             times[name] = -1.0
+        # Inter-key driver GC (round-8 harness fix, shared with
+        # scale_stress.py): in local mode shuffle files / broadcast
+        # blocks release only when driver GC collects their references;
+        # across 300 keys the ContextCleaner backlog otherwise dumps
+        # its cleanup storm into whichever key happens to be timed.
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(t for t in times.values() if t > 0), 4)
     failures = sorted(k for k, t in times.items() if t < 0)
     detail_path = os.path.join(

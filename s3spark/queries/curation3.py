@@ -396,7 +396,8 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHICH rule fires before committing to the drop.
 
     All four rules are row-local array/string expressions fused into
-    the scan (zero shuffle beyond the output sort); the keep column is
+    the scan (zero shuffle — round 8 dropped the trailing
+    presentational sort with the registry-wide audit); the keep column is
     the conjunction.  Swapping thresholds or adding rules is a
     projection edit — the audit-table shape is the part that matters
     at 100 TB, where 'why did my corpus shrink 40%?' must be

@@ -236,7 +236,19 @@ def build(spark) -> None:
 def time_keys(spark, sf_dir: str, keys=FACT_KEYS) -> dict[str, float]:
     """Median of 3 after one discarded warm-up run: the first pass over
     a freshly written sf1 dataset is OS-page-cache + JIT dominated
-    (observed 10-20x inflation) and says nothing about per-row cost."""
+    (observed 10-20x inflation) and says nothing about per-row cost.
+
+    A driver-side System.gc() runs BETWEEN keys (third harness artifact,
+    found round 8): in local mode, shuffle files and broadcast blocks
+    are released only when the driver GC collects their references, and
+    under a 24 GiB heap GC almost never runs on its own — after ~50
+    panel keys the ContextCleaner backlog dumps its cleanup storm into
+    whichever key is being TIMED (stats_permutation_test, the most
+    allocation-heavy key, recorded 90.9 s at sf1 vs 4.5 s with
+    inter-key cleanup — a 20x artifact, reproduced and bisected to
+    cumulative context state, not any single predecessor).  Forcing the
+    collection in the inter-key gap keeps the backlog out of the timed
+    windows for every key."""
     out = {}
     for name in keys:
         fn = REGISTRY[name].fn
@@ -247,6 +259,8 @@ def time_keys(spark, sf_dir: str, keys=FACT_KEYS) -> dict[str, float]:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         out[name] = round(sorted(times)[1], 3)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
     return out
 
 
@@ -286,7 +300,9 @@ def main() -> None:
         "protocol": "median-of-3 after one discarded warm-up run per "
         "key per scale; facts replicated 10x with offset keys, "
         "dims unchanged; doc/event panel uses the fixtures' own "
-        "sf0.01->sf0.1 10x growth",
+        "sf0.01->sf0.1 10x growth; driver System.gc() between keys so "
+        "the local-mode ContextCleaner backlog never lands inside a "
+        "timed window (round-8 harness fix)",
         "note": "ratio << 10 means fixed overhead amortizes; "
         "plans unchanged",
         # Near-linear-by-nature keys (round-7 verdict item 6): one-line
