@@ -139,12 +139,15 @@ def main() -> None:
             spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
         else:
             times[name] = -1.0
-        # Inter-key driver GC (round-8 harness fix, shared with
-        # scale_stress.py): in local mode shuffle files / broadcast
-        # blocks release only when driver GC collects their references;
-        # across 300 keys the ContextCleaner backlog otherwise dumps
-        # its cleanup storm into whichever key happens to be timed.
-        spark.sparkContext._jvm.System.gc()
+        # NO inter-key System.gc() here, unlike scale_stress.py: the
+        # bench JVM runs on the default (small) driver heap, so natural
+        # collections keep the local-mode ContextCleaner current, and a
+        # forced full GC between keys measurably SLOWED the timed
+        # samples (+17% total, flagship +0.8 s — class/codegen unloading
+        # lands in the next key's samples; A/B measured round 8).  The
+        # GC-stall pathology only appears under a large heap, which the
+        # scale-stress harness uses (and where the inter-key GC plus an
+        # 8g cap is the measured fix).
     total = round(sum(t for t in times.values() if t > 0), 4)
     failures = sorted(k for k, t in times.items() if t < 0)
     detail_path = os.path.join(

@@ -271,8 +271,16 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false",
                     "spark.ui.showConsoleProgress": "false",
                     # fresh JVM: driver-memory applies (128 GiB box;
-                    # local mode puts executor state on the driver heap)
-                    "spark.driver.memory": "24g"},
+                    # local mode puts executor state on the driver heap).
+                    # 8g, NOT bigger: a 24g heap made GCs so rare that
+                    # the ContextCleaner backlog + young-gen pressure
+                    # from 50 panel keys dumped multi-10s GC stalls into
+                    # the timed windows of the most allocation-heavy key
+                    # (stats_permutation_test: 59 s at sf1 under 24g vs
+                    # 3.5 s under 8g after the identical 49-key panel —
+                    # measured round 8).  A moderate heap keeps
+                    # collections small and the cleaner current.
+                    "spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warm
