@@ -279,13 +279,34 @@ def _witnessed_keys() -> frozenset:
     return base - _DIRTY_KEYS
 
 
+# Within the dirty set, these re-witness FIRST: keys whose round-8
+# change was substantive (join strategy, shared-helper arithmetic,
+# broadcast-hint semantics), ahead of the 88 order-only sort strips.
+# The dirty set exceeds one ~50-key driver window this round, and the
+# substantive changes must not queue behind value-neutral ones —
+# registration order alone would put the late-module stats keys last.
+_DIRTY_PRIORITY = (
+    "join_multiway",
+    "doc_chunk_overlap",
+    "stats_mann_whitney_u",
+    "stats_spearman_corr",
+    "timeseries_theil_sen",
+)
+
+
 def _rotate_registry() -> None:
     from s3spark.registry import REGISTRY
 
     witnessed = _witnessed_keys()
     # order: dirty-but-registered keys first (rewritten code with a
-    # stale green row), then never-witnessed keys, then witnessed.
-    dirty = {k: v for k, v in REGISTRY.items() if k in _DIRTY_KEYS}
+    # stale green row; substantive rewrites before order-only strips),
+    # then never-witnessed keys, then witnessed.
+    dirty = {
+        k: REGISTRY[k] for k in _DIRTY_PRIORITY if k in REGISTRY
+    }
+    dirty.update(
+        {k: v for k, v in REGISTRY.items() if k in _DIRTY_KEYS}
+    )
     unseen = {
         k: v
         for k, v in REGISTRY.items()
