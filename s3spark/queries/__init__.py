@@ -139,6 +139,9 @@ _DIRTY_KEYS = frozenset({
     # Round 8: helper change above + dropped the forced x-rank-map
     # broadcast hint (its size grows with SF; auto-broadcast decides).
     "stats_spearman_corr",
+    # Round 8: hash rows now the four 32-bit words of ONE md5 per key
+    # (bucket layout changed; oracle updated in lockstep; 2.6x faster).
+    "agg_countmin_sketch",
 # Round 8: the registry-wide trailing-sort audit removed the
 # decorative full-output global orderBy from every row-count-scale
 # key (see ROUND_NOTES.md round-8 table).  Values are order-
@@ -291,6 +294,7 @@ _DIRTY_PRIORITY = (
     "stats_mann_whitney_u",
     "stats_spearman_corr",
     "timeseries_theil_sen",
+    "agg_countmin_sketch",
 )
 
 
