@@ -142,6 +142,12 @@ _DIRTY_KEYS = frozenset({
     # Round 8: hash rows now the four 32-bit words of ONE md5 per key
     # (bucket layout changed; oracle updated in lockstep; 2.6x faster).
     "agg_countmin_sketch",
+    # Round 8 tier-2 sweep: dup-pair / survivor outputs that scale
+    # with the corpus (measured 8-10x rows at 10x docs) lose their
+    # trailing sorts too.
+    "dedup_fuzzy_minhash",
+    "dedup_incremental_minhash",
+    "dedup_exact_normalized",
 # Round 8: the registry-wide trailing-sort audit removed the
 # decorative full-output global orderBy from every row-count-scale
 # key (see ROUND_NOTES.md round-8 table).  Values are order-

@@ -327,7 +327,6 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.filter(est >= 0.5)
         .select("doc_a", "doc_b", F.round(est, 6).alias("jaccard_sim"))
-        .orderBy("doc_a", "doc_b")
     )
 
 

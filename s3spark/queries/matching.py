@@ -390,7 +390,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("is_dup"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -450,5 +449,4 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
         .filter(F.col("n_copies") > 1)
-        .orderBy("keeper_doc_id")
     )

@@ -647,6 +647,9 @@ _ROW_SCALE_SORT_FREE = [
     "attribution_last_touch",
     "cdc_apply_tombstones",
     "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_fuzzy_minhash",
+    "dedup_incremental_minhash",
     "dedup_keep_latest",
     "dedup_minhash_survivors",
     "dedup_simhash",
