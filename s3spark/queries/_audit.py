@@ -1,0 +1,85 @@
+"""Single source for registry audit bookkeeping (round-8 ADVICE item:
+the 92-key order-only sweep list was duplicated verbatim in
+``s3spark/queries/__init__.py`` ``_DIRTY_KEYS`` and
+``tests/test_plans.py`` ``_ROW_SCALE_SORT_FREE``; the two copies were
+consistent but guaranteed to drift as rounds clear dirty keys while the
+plan gate must persist).  Both consumers now import from here.
+
+``SORT_FREE_KEYS``
+    Every key whose OUTPUT row count scales with the input and whose
+    semantics declare no ordering.  The round-8 registry-wide audit
+    stripped the decorative trailing global ``orderBy`` from each (a
+    presentational sort range-shuffles a corpus-sized output at 100 TB
+    for nothing — ``doc_chunk_overlap``'s sort alone measured 12.95x at
+    the 10x docs step; the driver value-hash is order-insensitive).
+    The plan gate in ``tests/test_plans.py`` pins the invariant: no
+    global Sort node anywhere in these keys' optimized plans, ever.
+    This list only GROWS (new row-scale keys join it); it never shrinks
+    with witness status.
+
+``DIRTY_SINCE``
+    key -> round whose code change invalidated the key's prior driver
+    witness.  A key is *effectively* dirty until a green
+    ``CORRECTNESS_r{N}.json`` row with ``N >= DIRTY_SINCE[key]`` exists
+    at the repo root — computed at import by
+    ``s3spark.queries._effective_dirty()``, never by hand-editing a
+    second list.  Entries whose evidence has landed are inert and are
+    pruned opportunistically; stale entries cost nothing.
+"""
+
+from __future__ import annotations
+
+# Round-8 trailing-sort audit (ROUND_NOTES.md round-8 table): 88
+# tier-1 strips + 3 corpus-scaling tier-2 strips (dedup_fuzzy_minhash,
+# dedup_incremental_minhash, dedup_exact_normalized) + doc_chunk_overlap.
+SORT_FREE_KEYS: tuple = (
+    "agg_having", "array_set_algebra", "attribution_last_touch",
+    "cdc_apply_tombstones", "dedup_exact", "dedup_exact_normalized",
+    "dedup_fuzzy_minhash", "dedup_incremental_minhash",
+    "dedup_keep_latest", "dedup_minhash_survivors", "dedup_simhash",
+    "dedup_url_canonical", "doc_boilerplate_strip", "doc_chunk_overlap",
+    "doc_fingerprint", "doc_segment_dedup", "embedding_quantize_int8",
+    "feature_target_encode", "filter_rlike", "generator_explode_outer",
+    "graph_bfs_distance", "incremental_agg_maintenance",
+    "interval_coalesce", "interval_max_concurrency",
+    "interval_subtract_measure", "join_asof", "join_asof_nearest",
+    "join_asof_tolerance", "join_fuzzy_edit_distance",
+    "join_interval_overlap", "join_null_safe", "join_pit_features",
+    "join_scd2_point_in_time", "join_spatial_grid",
+    "mm_audio_fingerprint_dedup", "mm_binary_meta", "mm_decode_png",
+    "mm_frame_sample_wav", "mm_image_phash_dedup", "mm_image_resize",
+    "pack_sequences_greedy", "project_rename_enumerate",
+    "quality_classifier_hashed", "quality_gopher_rules",
+    "sample_hash_based", "scalar_binary_encode", "scalar_bitwise",
+    "scalar_conditional", "scalar_datetime_extended", "scalar_hash_json",
+    "scalar_json_malformed", "scalar_string_extended",
+    "scalar_try_error_safe", "scalar_url_parse", "scan_text_regex_parse",
+    "scan_xml", "scd2_dimension", "sessionize_gaps",
+    "set_union_missing_columns", "sim_ann_lsh", "split_leakage_safe",
+    "stream_session", "subquery_above_avg", "subquery_scalar_global",
+    "text_bigram_logprob", "text_bm25_rank", "text_edit_distance",
+    "text_lang_quality", "text_langid_char_ngram", "text_pii_scrub",
+    "text_repetition_filter", "text_stats", "text_tfidf_topterms",
+    "text_token_bpe", "text_unicode_normalize", "text_unigram_logprob",
+    "timeseries_downsample_lttb", "timeseries_gapfill",
+    "timeseries_interpolate_linear", "timeseries_ohlc_bars",
+    "tokenizer_vocab_coverage", "udf_arrow_map", "udtf_python_custom",
+    "window_count_distinct", "window_cumulative_reset",
+    "window_distribution", "window_forward_fill",
+    "window_islands_value_runs", "window_moving_zscore",
+    "window_pattern_match", "window_rolling_median", "window_time_decay",
+)
+
+# All round-8 rewrites: the 92 sort strips above plus the 5 substantive
+# rewrites (join strategy / shared-helper arithmetic / broadcast-hint
+# semantics).  50 of these cleared via green CORRECTNESS_r08 rows the
+# moment that artifact landed; the remaining 47 front the round-9
+# window and clear themselves when CORRECTNESS_r09.json is committed.
+DIRTY_SINCE: dict = {
+    **{k: 8 for k in SORT_FREE_KEYS},
+    "join_multiway": 8,
+    "stats_mann_whitney_u": 8,
+    "stats_spearman_corr": 8,
+    "timeseries_theil_sen": 8,
+    "agg_countmin_sketch": 8,
+}
