@@ -80,6 +80,9 @@ DIRTY_SINCE: dict = {
     "join_multiway": 8,
     "stats_mann_whitney_u": 8,
     "stats_spearman_corr": 8,
-    "timeseries_theil_sen": 8,
     "agg_countmin_sketch": 8,
+    # Round 9: median selection rewritten — equi-depth range buckets
+    # over raw slope rows (the equi-width cell scheme put 98.8% of
+    # pairs in one bucket), local daily relation, driver-exact k1/k2.
+    "timeseries_theil_sen": 9,
 }
