@@ -49,7 +49,23 @@ def with_cum_less(spark: SparkSession, cells: DataFrame, tag: str) -> DataFrame:
         cell.crossJoin(F.broadcast(stats))
         .selectExpr(
             "*",
-            f"(v - lo) div ((hi - lo) div {RANK_NB} + 1) AS bkt",
+            # Precondition guard (round-8 ADVICE): the bucket formula
+            # assumes (hi - lo) fits BIGINT.  try_subtract makes the
+            # check mode-independent — under ANSI (the Spark 4
+            # default) a raw subtraction would throw a generic
+            # ARITHMETIC_OVERFLOW before this CASE evaluates, and in
+            # non-ANSI mode it wraps NEGATIVE silently (hi >= lo by
+            # construction, so a negative spread is the wrap
+            # signature); try_subtract returns NULL on overflow in
+            # both.  The check lives INSIDE the bkt expression (a
+            # dropped assert-only column would be pruned by Catalyst,
+            # silently removing the guard); it is one codegen'd
+            # comparison per row against the broadcast scalar.
+            "CASE WHEN try_subtract(hi, lo) IS NULL"
+            " OR try_subtract(hi, lo) < 0 THEN CAST(raise_error("
+            "'with_cum_less: value spread exceeds BIGINT — quantize v "
+            "more coarsely before ranking') AS BIGINT) "
+            f"ELSE (v - lo) div ((hi - lo) div {RANK_NB} + 1) END AS bkt",
         )
         .drop("lo", "hi")
     )

@@ -303,3 +303,32 @@ def test_hll_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("orders.parquet") <= 1  # exact-side rollup only
+
+
+def test_with_cum_less_overflow_guard(spark):
+    """Round-8 ADVICE pin: with_cum_less's bucket arithmetic assumes
+    the value spread (hi - lo) fits BIGINT.  A cell table spanning
+    more than 2^63 must FAIL with the raise_error message, never wrap
+    silently into corrupt bucket ids; values inside the safe range
+    still rank exactly."""
+    import pytest
+
+    from s3spark.queries._prefix import with_cum_less
+
+    # spread = (2^62) - (-2^62) = 2^63 -> wraps negative in BIGINT
+    bad = spark.createDataFrame(
+        [(-(2**62), 1), (2**62, 1)], "v long, cnt long"
+    )
+    with pytest.raises(Exception, match="value spread exceeds BIGINT"):
+        with_cum_less(spark, bad, "prefix_guard_bad").collect()
+
+    # a wide-but-safe spread (just under 2^63) still ranks exactly
+    lo, hi = -(2**61), 2**61
+    ok = spark.createDataFrame(
+        [(lo, 2), (0, 3), (hi, 1)], "v long, cnt long"
+    )
+    got = {
+        r["v"]: r["cum_less"]
+        for r in with_cum_less(spark, ok, "prefix_guard_ok").collect()
+    }
+    assert got == {lo: 0, 0: 2, hi: 5}

@@ -79,19 +79,18 @@ def test_theil_sen_matches_exact_integer_replay(spark):
 
 
 def test_theil_sen_plan_shapes(spark):
-    """The returned plan reads only the materialized daily/cell
-    scratch tables (orders is scanned once, in the daily write job);
-    nested loops are the declared 1-row broadcasts — the
-    calendar-bounded pair join itself runs inside the cells write
-    job; no Python."""
+    """The returned plan reads only the materialized ranked scratch
+    (orders was reduced to the calendar-bounded daily rows at build
+    time and the pair join + ranking ran inside the scratch-write
+    job); selection is the broadcast hash join against the ≤64-row
+    offset table plus a two-row filter — no fact rescan, no Python,
+    no nested loop of any kind in the returned plan."""
     plan = _plan(spark, "timeseries_theil_sen")
     assert "orders.parquet" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # every BNLJ build side in the returned plan is a 1-row aggregate
-    # (range stats, pair total, day count — multiplied by plan-tree
-    # duplication of the two c2 consumers); all probe bounded scratch
-    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 8
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # bkt offset attach
 
 
 # ---------------------------------------------------------------------------
