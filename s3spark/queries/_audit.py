@@ -85,4 +85,8 @@ DIRTY_SINCE: dict = {
     # over raw slope rows (the equi-width cell scheme put 98.8% of
     # pairs in one bucket), local daily relation, driver-exact k1/k2.
     "timeseries_theil_sen": 9,
+    # Round 9: sentinel fixture write repartition(1) instead of
+    # coalesce(1) (the 2-row local-relation coalesce stalled ~5 s on
+    # scheduler locality wait); values untouched, code changed.
+    "stream_outer_join_watermark": 9,
 }

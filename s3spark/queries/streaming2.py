@@ -381,7 +381,14 @@ def stream_outer_join_watermark(
             ),
         )
         tmp = scratch_dir(f"sojoin_sent_{tag}", fresh=True)
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), NOT coalesce(1): coalescing a parallelized
+        # 2-row local relation into one task unions all 32 parents'
+        # driver-process-local preferences, and the scheduler then
+        # sits out spark.locality.wait before launching — measured
+        # ~5 s of pure stall for this 2-row write vs ~1.5 s with the
+        # round-robin shuffle (round 9; the single-file requirement
+        # itself stands: the stream dir gets exactly one batch file).
+        sent.repartition(1).write.mode("overwrite").parquet(tmp)
         part = next(
             p for p in os.listdir(tmp) if p.endswith(".parquet")
         )
