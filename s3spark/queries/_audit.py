@@ -79,8 +79,11 @@ DIRTY_SINCE: dict = {
     **{k: 8 for k in SORT_FREE_KEYS},
     "join_multiway": 8,
     "stats_mann_whitney_u": 8,
-    "stats_spearman_corr": 8,
     "agg_countmin_sketch": 8,
+    # Round 9: rho/t-stat shared text gains |rho|=1 and d1*d2=0
+    # guards (ANSI Spark throws DIVIDE_BY_ZERO where DuckDB returns
+    # inf/NaN — found by the hypothesis differential test).
+    "stats_spearman_corr": 9,
     # Round 9: median selection rewritten — equi-depth range buckets
     # over raw slope rows (the equi-width cell scheme put 98.8% of
     # pairs in one bucket), local daily relation, driver-exact k1/k2.

@@ -306,10 +306,28 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stats_spearman_corr
 # --------------------------------------------------------------------------
 
-_SP_RHO = "(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)))"
+# A CONSTANT column (d1 or d2 = 0, num then 0 too) makes rho 0/0:
+# DuckDB's float division yields NaN but ANSI Spark (the Spark 4
+# default) throws DIVIDE_BY_ZERO, so the shared text takes the NaN
+# branch explicitly on both engines.  Unreachable at any fixture SF;
+# defensive for real deployments.
+_SP_RHO = (
+    "(CASE WHEN CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE) = 0.0 "
+    "THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))"
+    " END)"
+)
+# Perfect rank correlation (rho = +/-1, e.g. tiny tied batches) zeroes
+# the 1 - rho^2 denominator: DuckDB's float division returns +/-inf
+# but ANSI Spark (the Spark 4 default) throws DIVIDE_BY_ZERO — found
+# by the hypothesis differential test, impossible on the fixture
+# (rho ~= 0.997).  The CASE branch is part of the SHARED expression
+# text, so both engines take the same +/-Infinity path at |rho| = 1.
 _SP_T = (
-    f"(({_SP_RHO}) * sqrt((CAST(n AS DOUBLE) - 2.0) / "
-    f"(1.0 - ({_SP_RHO}) * ({_SP_RHO}))))"
+    f"(CASE WHEN abs({_SP_RHO}) >= 1.0 "
+    f"THEN ({_SP_RHO}) * CAST('Infinity' AS DOUBLE) "
+    f"ELSE ({_SP_RHO}) * sqrt((CAST(n AS DOUBLE) - 2.0) / "
+    f"(1.0 - ({_SP_RHO}) * ({_SP_RHO}))) END)"
 )
 
 _SP_TAIL = (

@@ -658,3 +658,116 @@ def test_sweep_concurrency_ties_random(spark, tmp_path_factory, rows):
         r.user_id: (r.max_concurrent, r.n_sessions) for r in got.collect()
     }
     assert got_rows == expect
+
+
+# ---------------------------------------------------------------------------
+# theil-sen: random daily revenue (negative totals, tie-heavy slopes,
+# 2-day minimum) against the registry's own DuckDB oracle — proving the
+# round-9 equi-depth selection on distributions the fixture never
+# produces (the fixture's daily revenue is strictly positive and its
+# slopes are ~100% distinct)
+# ---------------------------------------------------------------------------
+
+_TS_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),          # day offset
+        st.integers(min_value=-(10**6), max_value=10**6),  # cents
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(rows=_TS_ROWS)
+@settings(**_SETTINGS)
+def test_theil_sen_random(spark, tmp_path_factory, rows):
+    """The equi-depth-bucket order-statistic selection must equal the
+    oracle's row_number-over-global-sort median on random data that
+    overweights its hazards: negative daily totals (the
+    sign-symmetric div), duplicate slopes (rank ties split across
+    range partitions), few distinct days (2-day minimum -> exactly
+    one pair, k1 == k2), and all-days-equal-revenue (every slope 0 ->
+    one bucket holds everything)."""
+    assume(len({d for d, _ in rows}) >= 2)
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("ts_rand")
+    df = spark.createDataFrame(rows, "d int, cents int").select(
+        F.lit(1).alias("o_orderkey"),
+        F.timestamp_seconds(
+            F.unix_timestamp(
+                F.date_add(F.lit("1990-01-01").cast("date"), F.col("d"))
+                .cast("timestamp")
+            )
+        ).alias("o_orderdate"),
+        (F.col("cents") / 100.0).cast("double").alias("o_totalprice"),
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["timeseries_theil_sen"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["timeseries_theil_sen"].oracle,
+        name="theil_sen_random",
+    )
+
+
+# ---------------------------------------------------------------------------
+# spearman: random (price, discount, tax) with HEAVY value ties against
+# the registry oracle — the fixture's columns are ~100% distinct, so
+# the doubled-midrank tie handling (2*cum_less + cnt + 1) is barely
+# exercised by the oracle suite; here up to 25 rows draw from only 5
+# distinct prices, so almost every rank is a midrank
+# ---------------------------------------------------------------------------
+
+_SP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),   # price units (ties!)
+        st.integers(min_value=0, max_value=10),  # discount percent
+        st.integers(min_value=0, max_value=8),   # tax percent
+    ),
+    min_size=3,
+    max_size=25,
+)
+
+
+@given(rows=_SP_ROWS)
+@settings(**_SETTINGS)
+def test_spearman_midrank_ties_random(spark, tmp_path_factory, rows):
+    """Doubled midranks under heavy ties must match the oracle's
+    window-based midrank formulation exactly; degenerate inputs
+    (zero rank variance when all prices are equal) divide 0/0 on
+    BOTH engines identically through the shared expression text."""
+    # all-equal x or y makes d1/d2 zero -> rho = 0/0 = NaN on both
+    # engines via the same IEEE division; the driver comparator treats
+    # NaN == NaN, but skip the all-degenerate case to keep the
+    # assertion about RANKS, not NaN plumbing
+    assume(len({r[0] for r in rows}) >= 2)
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("sp_rand")
+    df = spark.createDataFrame(
+        rows, "p int, d int, t int"
+    ).select(
+        (F.col("p") * 100.0).cast("double").alias("l_extendedprice"),
+        (F.col("d") / 100.0).cast("double").alias("l_discount"),
+        (F.col("t") / 100.0).cast("double").alias("l_tax"),
+    )
+    path = os.path.join(str(tmp), "lineitem.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{path}/*.parquet'"
+    )
+    got = REGISTRY["stats_spearman_corr"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["stats_spearman_corr"].oracle,
+        name="spearman_midrank_random",
+    )
