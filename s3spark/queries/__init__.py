@@ -167,9 +167,11 @@ def _witnessed_keys() -> frozenset:
 _DIRTY_PRIORITY = (
     "timeseries_theil_sen",
     "stats_spearman_corr",
+    "stats_mann_whitney_u",
+    "stats_welch_ttest",
+    "stream_outer_join_watermark",
     "join_multiway",
     "doc_chunk_overlap",
-    "stats_mann_whitney_u",
     "agg_countmin_sketch",
 )
 

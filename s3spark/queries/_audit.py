@@ -78,12 +78,16 @@ SORT_FREE_KEYS: tuple = (
 DIRTY_SINCE: dict = {
     **{k: 8 for k in SORT_FREE_KEYS},
     "join_multiway": 8,
-    "stats_mann_whitney_u": 8,
     "agg_countmin_sketch": 8,
-    # Round 9: rho/t-stat shared text gains |rho|=1 and d1*d2=0
-    # guards (ANSI Spark throws DIVIDE_BY_ZERO where DuckDB returns
-    # inf/NaN — found by the hypothesis differential test).
+    # Round 9: the three classical-stat tails gain degenerate-
+    # denominator guards in the shared expression text (|rho| = 1,
+    # constant columns, empty/single-row cohorts, all-tied corpora —
+    # ANSI Spark throws DIVIDE_BY_ZERO and DuckDB returns NULL where
+    # the statistic calls for NaN/Infinity; found by the hypothesis
+    # differential tests, unreachable on the fixture).
     "stats_spearman_corr": 9,
+    "stats_mann_whitney_u": 9,
+    "stats_welch_ttest": 9,
     # Round 9: median selection rewritten — equi-depth range buckets
     # over raw slope rows (the equi-width cell scheme put 98.8% of
     # pairs in one bucket), local daily relation, driver-exact k1/k2.

@@ -46,15 +46,34 @@ from s3spark.registry import register
 # bit-identical (the stats_ab_proportion_ztest recipe).
 _W_M1 = "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
 _W_M2 = "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
-_W_V1 = "CAST(vn1 AS DOUBLE) / CAST(vd1 AS DOUBLE)"
-_W_V2 = "CAST(vn2 AS DOUBLE) / CAST(vd2 AS DOUBLE)"
+# Degenerate-denominator guards (found by the hypothesis differential
+# tests; unreachable at any fixture SF): a single-row cohort makes the
+# sample variance 0/0 (vd = n*(n-1) = 0), and two zero-variance
+# cohorts zero t's denominator.  DuckDB's float division returns NULL
+# and ANSI Spark throws DIVIDE_BY_ZERO; the shared text takes explicit
+# NaN / signed-Infinity branches on both engines instead (0 * inf is
+# NaN on both, so equal-mean zero-variance cohorts land on NaN).
+_W_V1 = (
+    "(CASE WHEN vd1 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(vn1 AS DOUBLE) / CAST(vd1 AS DOUBLE) END)"
+)
+_W_V2 = (
+    "(CASE WHEN vd2 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(vn2 AS DOUBLE) / CAST(vd2 AS DOUBLE) END)"
+)
 _W_A1 = f"(({_W_V1}) / CAST(n1 AS DOUBLE))"
 _W_A2 = f"(({_W_V2}) / CAST(n2 AS DOUBLE))"
-_W_T = f"((({_W_M1}) - ({_W_M2})) / sqrt({_W_A1} + {_W_A2}))"
+_W_T = (
+    f"(CASE WHEN ({_W_A1} + {_W_A2}) = 0.0 "
+    f"THEN (({_W_M1}) - ({_W_M2})) * CAST('Infinity' AS DOUBLE) "
+    f"ELSE (({_W_M1}) - ({_W_M2})) / sqrt({_W_A1} + {_W_A2}) END)"
+)
 _W_DOF = (
-    f"((({_W_A1} + {_W_A2}) * ({_W_A1} + {_W_A2})) / "
+    f"(CASE WHEN n1 <= 1 OR n2 <= 1 OR ({_W_A1} + {_W_A2}) = 0.0 "
+    f"THEN CAST('NaN' AS DOUBLE) "
+    f"ELSE (({_W_A1} + {_W_A2}) * ({_W_A1} + {_W_A2})) / "
     f"(({_W_A1} * {_W_A1}) / CAST(n1 - 1 AS DOUBLE) + "
-    f"({_W_A2} * {_W_A2}) / CAST(n2 - 1 AS DOUBLE)))"
+    f"({_W_A2} * {_W_A2}) / CAST(n2 - 1 AS DOUBLE)) END)"
 )
 
 _WELCH_TAIL = (
@@ -66,7 +85,10 @@ _WELCH_TAIL = (
     f"CAST({_W_V2} AS DOUBLE) AS var2",
     f"CAST({_W_T} AS DOUBLE) AS t_stat",
     f"CAST({_W_DOF} AS DOUBLE) AS dof_welch",
-    f"CAST(CASE WHEN abs({_W_T}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)"
+    # an undefined statistic is NOT significant (both engines would
+    # otherwise agree on the misleading NaN > 1.96 = true)
+    f"CAST(CASE WHEN isnan({_W_T}) THEN 0 "
+    f"WHEN abs({_W_T}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)"
     " AS sig_95",
 )
 
@@ -185,8 +207,25 @@ _MW_SG = (
     "((CAST(n AS DOUBLE) + 1.0) - CAST(t3 AS DOUBLE) / "
     "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))"
 )
-_MW_Z = f"(({_MW_UD}) - ({_MW_MU})) / ({_MW_SG})"
-_MW_RB = "(1.0 - CAST(u2 AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+# Degenerate-denominator guards (found by the hypothesis differential
+# tests; unreachable at any fixture SF): an empty cohort (na*nb = 0)
+# or a single total row (the tie term divides by n*(n-1)) or an
+# all-tied corpus (sigma = 0 — and sigma = 0 forces U = mu, so the
+# ratio is 0/0) leave z undefined.  DuckDB's float division returns
+# NULL and ANSI Spark throws DIVIDE_BY_ZERO; the shared text takes an
+# explicit NaN branch on both engines instead.  The n <= 1 / na*nb = 0
+# WHENs must precede the sigma WHEN: evaluating sigma itself divides
+# by n*(n-1).
+_MW_Z = (
+    f"(CASE WHEN n <= 1 OR na * nb = 0 THEN CAST('NaN' AS DOUBLE) "
+    f"WHEN ({_MW_SG}) = 0.0 THEN CAST('NaN' AS DOUBLE) "
+    f"ELSE (({_MW_UD}) - ({_MW_MU})) / ({_MW_SG}) END)"
+)
+_MW_RB = (
+    "(CASE WHEN na * nb = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE 1.0 - CAST(u2 AS DOUBLE) / "
+    "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END)"
+)
 
 _MW_TAIL = (
     "na",
@@ -195,7 +234,10 @@ _MW_TAIL = (
     f"CAST({_MW_UD} AS DOUBLE) AS u_stat",
     f"CAST({_MW_Z} AS DOUBLE) AS z",
     f"CAST({_MW_RB} AS DOUBLE) AS rank_biserial",
-    f"CAST(CASE WHEN abs({_MW_Z}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)"
+    # an undefined statistic is NOT significant (both engines would
+    # otherwise agree on the misleading NaN > 1.96 = true)
+    f"CAST(CASE WHEN isnan({_MW_Z}) THEN 0 "
+    f"WHEN abs({_MW_Z}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)"
     " AS sig_95",
 )
 
@@ -307,22 +349,24 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # A CONSTANT column (d1 or d2 = 0, num then 0 too) makes rho 0/0:
-# DuckDB's float division yields NaN but ANSI Spark (the Spark 4
-# default) throws DIVIDE_BY_ZERO, so the shared text takes the NaN
-# branch explicitly on both engines.  Unreachable at any fixture SF;
-# defensive for real deployments.
+# DuckDB's float division returns NULL while ANSI Spark (the Spark 4
+# default) throws DIVIDE_BY_ZERO — neither is the IEEE NaN the
+# statistic calls for, so the shared text takes an explicit NaN
+# branch on both engines.  Unreachable at any fixture SF; defensive
+# for real deployments.
 _SP_RHO = (
     "(CASE WHEN CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE) = 0.0 "
     "THEN CAST('NaN' AS DOUBLE) "
     "ELSE CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))"
     " END)"
 )
-# Perfect rank correlation (rho = +/-1, e.g. tiny tied batches) zeroes
-# the 1 - rho^2 denominator: DuckDB's float division returns +/-inf
-# but ANSI Spark (the Spark 4 default) throws DIVIDE_BY_ZERO — found
-# by the hypothesis differential test, impossible on the fixture
-# (rho ~= 0.997).  The CASE branch is part of the SHARED expression
-# text, so both engines take the same +/-Infinity path at |rho| = 1.
+# Perfect rank correlation (rho = +/-1, e.g. tiny tied batches)
+# zeroes the 1 - rho^2 denominator: DuckDB's float division returns
+# NULL but ANSI Spark (the Spark 4 default) throws DIVIDE_BY_ZERO —
+# found by the hypothesis differential test, impossible on the
+# fixture (rho ~= 0.997).  The CASE branch is part of the SHARED
+# expression text, so both engines take the same +/-Infinity path at
+# |rho| = 1 (the statistic's true limit).
 _SP_T = (
     f"(CASE WHEN abs({_SP_RHO}) >= 1.0 "
     f"THEN ({_SP_RHO}) * CAST('Infinity' AS DOUBLE) "
@@ -336,7 +380,10 @@ _SP_TAIL = (
     "ndy AS n_distinct_y",
     f"CAST({_SP_RHO} AS DOUBLE) AS rho_spearman",
     f"CAST({_SP_T} AS DOUBLE) AS t_stat",
-    f"CAST(CASE WHEN abs({_SP_T}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)"
+    # an undefined statistic is NOT significant (both engines would
+    # otherwise agree on the misleading NaN > 1.96 = true)
+    f"CAST(CASE WHEN isnan({_SP_T}) THEN 0 "
+    f"WHEN abs({_SP_T}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)"
     " AS sig_95",
 )
 

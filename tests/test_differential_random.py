@@ -771,3 +771,75 @@ def test_spearman_midrank_ties_random(spark, tmp_path_factory, rows):
         REGISTRY["stats_spearman_corr"].oracle,
         name="spearman_midrank_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# mann-whitney + welch: random two-cohort draws with heavy ties,
+# single-row cohorts, and empty cohorts against the registry oracles —
+# the degenerate-denominator edges (all-tied sigma = 0, single-row
+# variance 0/0, zero-variance cohorts with differing means) are
+# unreachable on the fixture
+# ---------------------------------------------------------------------------
+
+_COHORT_ROWS = st.lists(
+    st.tuples(
+        st.booleans(),                            # urgent?
+        st.integers(min_value=1, max_value=4),    # price units (ties!)
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+def _orders_fixture(spark, tmp_path_factory, rows, tag):
+    tmp = tmp_path_factory.mktemp(tag)
+    df = spark.createDataFrame(rows, "a boolean, p int").select(
+        F.lit(1).alias("o_orderkey"),
+        F.when(F.col("a"), "1-URGENT").otherwise("3-MEDIUM").alias(
+            "o_orderpriority"
+        ),
+        (F.col("p") * 100.0).cast("double").alias("o_totalprice"),
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    return str(tmp), con
+
+
+@given(rows=_COHORT_ROWS)
+@settings(**_SETTINGS)
+def test_mann_whitney_degenerate_random(spark, tmp_path_factory, rows):
+    """Doubled-midrank U with exact tie correction on random draws
+    where almost every value is tied, including the all-tied corpus
+    (sigma = 0) and single-cohort corpora."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    sf_dir, con = _orders_fixture(spark, tmp_path_factory, rows, "mw_rand")
+    got = REGISTRY["stats_mann_whitney_u"].fn(spark, sf_dir)
+    assert_same(
+        got,
+        con,
+        REGISTRY["stats_mann_whitney_u"].oracle,
+        name="mann_whitney_random",
+    )
+
+
+@given(rows=_COHORT_ROWS)
+@settings(**_SETTINGS)
+def test_welch_degenerate_random(spark, tmp_path_factory, rows):
+    """Welch t on random draws including zero-variance cohorts with
+    differing means (t = x/0) and single-row cohorts (variance 0/0,
+    dof denominator n-1 = 0)."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    sf_dir, con = _orders_fixture(spark, tmp_path_factory, rows, "w_rand")
+    got = REGISTRY["stats_welch_ttest"].fn(spark, sf_dir)
+    assert_same(
+        got,
+        con,
+        REGISTRY["stats_welch_ttest"].oracle,
+        name="welch_random",
+    )
