@@ -88,6 +88,8 @@ DIRTY_SINCE: dict = {
     "stats_spearman_corr": 9,
     "stats_mann_whitney_u": 9,
     "stats_welch_ttest": 9,
+    "stats_ab_proportion_ztest": 9,
+    "stats_ks_two_sample": 9,
     # Round 9: median selection rewritten — equi-depth range buckets
     # over raw slope rows (the equi-width cell scheme put 98.8% of
     # pairs in one bucket), local daily relation, driver-exact k1/k2.

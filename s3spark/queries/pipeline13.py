@@ -156,18 +156,32 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines: every operand is a correctly-rounded cast of an exact
 # integer, and +,-,*,/ and sqrt are all IEEE-754 correctly-rounded, so
 # the doubles are bit-identical (the ml_linreg_normal_eq recipe).
+# Degenerate-denominator guards (the round-9 hypothesis-differential
+# finding, applied family-wide): an empty traffic arm (n = 0) or a
+# degenerate pooled rate (pp ∈ {0, 1} — zero conversions anywhere, or
+# all conversions) leaves the statistic undefined; DuckDB's float
+# division returns NULL and ANSI Spark throws DIVIDE_BY_ZERO, so the
+# shared text takes explicit NaN branches on both engines.  Unlike
+# the fixture-unreachable stats16 edges, pp = 0 is a REAL production
+# case (an experiment window with no conversions yet).
 _ZT_DERIVE = [
-    "CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1",
-    "CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2",
-    "CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp",
+    "CASE WHEN n1 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1",
+    "CASE WHEN n2 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2",
+    "CASE WHEN n1 + n2 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) END AS pp",
 ]
 _ZT_Z = (
-    "CAST((p1 - p2) / sqrt(pp * (1.0 - pp) * "
-    "(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS DOUBLE)"
+    "CAST(CASE WHEN n1 = 0 OR n2 = 0 OR pp * (1.0 - pp) = 0.0 "
+    "THEN CAST('NaN' AS DOUBLE) "
+    "ELSE (p1 - p2) / sqrt(pp * (1.0 - pp) * "
+    "(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END AS DOUBLE)"
 )
 _ZT_SE_U = (
-    "sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE) "
-    "+ p2 * (1.0 - p2) / CAST(n2 AS DOUBLE))"
+    "(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE) "
+    "+ p2 * (1.0 - p2) / CAST(n2 AS DOUBLE)) END)"
 )
 
 _ZTEST_ORACLE = f"""
@@ -191,8 +205,8 @@ SELECT n1, x1, n2, x2, p1, p2,
        z,
        CAST(p1 - p2 - 1.959964 * se_u AS DOUBLE) AS ci95_lo,
        CAST(p1 - p2 + 1.959964 * se_u AS DOUBLE) AS ci95_hi,
-       CAST(CASE WHEN abs(z) > 1.644854 THEN 1 ELSE 0 END AS BIGINT) AS sig_90,
-       CAST(CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS sig_95
+       CAST(CASE WHEN isnan(z) THEN 0 WHEN abs(z) > 1.644854 THEN 1 ELSE 0 END AS BIGINT) AS sig_90,
+       CAST(CASE WHEN isnan(z) THEN 0 WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS sig_95
 FROM z
 """
 
@@ -246,8 +260,10 @@ def stats_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         "CAST(p1 - p2 - 1.959964 * se_u AS DOUBLE) AS ci95_lo",
         "CAST(p1 - p2 + 1.959964 * se_u AS DOUBLE) AS ci95_hi",
-        "CAST(CASE WHEN abs(z) > 1.644854 THEN 1 ELSE 0 END AS BIGINT) AS sig_90",
-        "CAST(CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS sig_95",
+        "CAST(CASE WHEN isnan(z) THEN 0 "
+        "WHEN abs(z) > 1.644854 THEN 1 ELSE 0 END AS BIGINT) AS sig_90",
+        "CAST(CASE WHEN isnan(z) THEN 0 "
+        "WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS sig_95",
     )
 
 

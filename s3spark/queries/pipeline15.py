@@ -140,7 +140,35 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KS_NB = 64  # value-range buckets for the two-level distributed cumsum
 
-_KS_ORACLE = """
+# Shared guarded tail (round-9 hypothesis-differential sweep): an
+# empty cohort (na*nb = 0) leaves D and the critical value undefined —
+# DuckDB's float division returns NULL, ANSI Spark throws
+# DIVIDE_BY_ZERO; both engines take the explicit NaN branch instead,
+# and an undefined D never flags drift.  One constant feeds the Spark
+# selectExpr AND the oracle so the texts cannot drift.
+_KS_D = (
+    "(CASE WHEN na * nb = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE CAST(dmax AS DOUBLE) "
+    "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END)"
+)
+_KS_CRIT = (
+    "(CASE WHEN na * nb = 0 THEN CAST('NaN' AS DOUBLE) "
+    "ELSE 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) "
+    "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END)"
+)
+_KS_TAIL = (
+    "na",
+    "nb",
+    "n_cells",
+    "at_value",
+    f"CAST({_KS_D} AS DOUBLE) AS d_stat",
+    f"CAST({_KS_CRIT} AS DOUBLE) AS ks_crit_05",
+    f"CAST(CASE WHEN isnan({_KS_D}) THEN 0 "
+    f"WHEN ({_KS_D}) > ({_KS_CRIT}) THEN 1 ELSE 0 END AS BIGINT)"
+    " AS drift_flag",
+)
+
+_KS_ORACLE = f"""
 WITH v AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
@@ -174,17 +202,7 @@ s AS (
          CAST(COUNT(*) AS BIGINT) AS n_cells
   FROM d
 )
-SELECT s.na, s.nb, s.n_cells, arg.at_value,
-       CAST(CAST(mx.dmax AS DOUBLE)
-            / (CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE)) AS DOUBLE) AS d_stat,
-       CAST(1.358 * sqrt((CAST(s.na AS DOUBLE) + CAST(s.nb AS DOUBLE))
-            / (CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE))) AS DOUBLE)
-         AS ks_crit_05,
-       CAST(CASE WHEN CAST(CAST(mx.dmax AS DOUBLE)
-                      / (CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE)) AS DOUBLE)
-                  > CAST(1.358 * sqrt((CAST(s.na AS DOUBLE) + CAST(s.nb AS DOUBLE))
-                      / (CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE))) AS DOUBLE)
-                 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+SELECT {", ".join(_KS_TAIL)}
 FROM s, mx, arg
 """
 
@@ -297,20 +315,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(arg))
-        .selectExpr(
-            "na",
-            "nb",
-            "n_cells",
-            "at_value",
-            "CAST(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) "
-            "AS DOUBLE) AS d_stat",
-            "CAST(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) "
-            "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS DOUBLE) AS ks_crit_05",
-            "CAST(CASE WHEN CAST(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) "
-            "* CAST(nb AS DOUBLE)) AS DOUBLE) > CAST(1.358 * sqrt((CAST(na AS DOUBLE) "
-            "+ CAST(nb AS DOUBLE)) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) "
-            "AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS drift_flag",
-        )
+        .selectExpr(*_KS_TAIL)
     )
 
 

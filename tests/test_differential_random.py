@@ -843,3 +843,61 @@ def test_welch_degenerate_random(spark, tmp_path_factory, rows):
         REGISTRY["stats_welch_ttest"].oracle,
         name="welch_random",
     )
+
+
+_ZT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # o_orderkey (md5 split)
+        st.booleans(),                            # urgent/conv
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(rows=_ZT_ROWS)
+@settings(**_SETTINGS)
+def test_ab_ztest_degenerate_random(spark, tmp_path_factory, rows):
+    """Proportion z-test on random draws including the REAL production
+    degenerates: zero conversions anywhere (pooled p = 0), all
+    conversions (pooled p = 1), and an empty traffic arm (every
+    orderkey hashing to one md5 side)."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("zt_rand")
+    df = spark.createDataFrame(rows, "k int, a boolean").select(
+        F.col("k").cast("long").alias("o_orderkey"),
+        F.when(F.col("a"), "1-URGENT").otherwise("3-MEDIUM").alias(
+            "o_orderpriority"
+        ),
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["stats_ab_proportion_ztest"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["stats_ab_proportion_ztest"].oracle,
+        name="ab_ztest_random",
+    )
+
+
+@given(rows=_COHORT_ROWS)
+@settings(**_SETTINGS)
+def test_ks_two_sample_degenerate_random(spark, tmp_path_factory, rows):
+    """Two-sample KS on random draws including an empty cohort
+    (na*nb = 0 -> D undefined) and all-tied values (D = 0)."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    sf_dir, con = _orders_fixture(spark, tmp_path_factory, rows, "ks_rand")
+    got = REGISTRY["stats_ks_two_sample"].fn(spark, sf_dir)
+    assert_same(
+        got,
+        con,
+        REGISTRY["stats_ks_two_sample"].oracle,
+        name="ks_random",
+    )
