@@ -901,3 +901,105 @@ def test_ks_two_sample_degenerate_random(spark, tmp_path_factory, rows):
         REGISTRY["stats_ks_two_sample"].oracle,
         name="ks_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# interval_coalesce: random event streams with EXACT-TOUCH boundaries
+# (timestamps at multiples of half the 300 s window, so intervals
+# touch end-to-start exactly — the s == running-max-end case where
+# "touching merges" vs "touching splits" diverge) and duplicate
+# timestamps across and within users
+# ---------------------------------------------------------------------------
+
+_IC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user
+        st.integers(min_value=0, max_value=8),   # ts = k * 150 s
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_IC_ROWS)
+@settings(**_SETTINGS)
+def test_interval_coalesce_touching_random(spark, tmp_path_factory, rows):
+    """The cumulative-max island trick must match the oracle's window
+    formulation on random interval sets that overweight exact-touch
+    chains, containment (an early long interval swallowing later
+    short ones), and duplicate starts."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("ic_rand")
+    df = spark.createDataFrame(
+        [(i, u, k) for i, (u, k) in enumerate(rows)],
+        "event_id long, user_id long, k int",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 150
+        ).alias("ts"),
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["interval_coalesce"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["interval_coalesce"].oracle,
+        name="interval_coalesce_random",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionize_gaps: random event streams with gaps EXACTLY at the
+# 30-minute boundary (gap > threshold splits; gap == threshold must
+# NOT) and duplicate timestamps within a user
+# ---------------------------------------------------------------------------
+
+_SG_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=5),   # ts = k * 1800 s
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(rows=_SG_ROWS)
+@settings(**_SETTINGS)
+def test_sessionize_gap_boundary_random(spark, tmp_path_factory, rows):
+    """Session splitting on random streams where every inter-event gap
+    is an exact multiple of the 30-minute threshold: a gap EQUAL to
+    the threshold must keep the session open on both engines (strict
+    >), and same-ts duplicates must land in one session."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("sg_rand")
+    df = spark.createDataFrame(
+        [(i, u, k) for i, (u, k) in enumerate(rows)],
+        "event_id long, user_id long, k int",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 1800
+        ).alias("ts"),
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["sessionize_gaps"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["sessionize_gaps"].oracle,
+        name="sessionize_random",
+    )
