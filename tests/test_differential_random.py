@@ -1003,3 +1003,102 @@ def test_sessionize_gap_boundary_random(spark, tmp_path_factory, rows):
         REGISTRY["sessionize_gaps"].oracle,
         name="sessionize_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: random status sequences with duplicate dates (the
+# two ROW_NUMBERs disagree on ties unless both order by the same
+# unique tiebreak) and runs straddling the >= 3 HAVING cut
+# ---------------------------------------------------------------------------
+
+_ISL_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # custkey
+        st.integers(min_value=0, max_value=1),   # status O/F
+        st.integers(min_value=0, max_value=4),   # day offset (dups!)
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(rows=_ISL_ROWS)
+@settings(**_SETTINGS)
+def test_islands_value_runs_random(spark, tmp_path_factory, rows):
+    """The double-row_number islands trick must match on random status
+    sequences with duplicate order dates and boundary-length runs."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("isl_rand")
+    df = spark.createDataFrame(
+        [(i, c, s, d) for i, (c, s, d) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, s int, d int",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("s") == 0, "O").otherwise("F").alias("o_orderstatus"),
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("d"))
+        .cast("timestamp")
+        .alias("o_orderdate"),
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["window_islands_value_runs"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["window_islands_value_runs"].oracle,
+        name="islands_random",
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group: random balances with heavy ties AT the k = 3 cut
+# (row_number's (balance, custkey) tiebreak must pick identical rows
+# on both engines) and groups smaller than k
+# ---------------------------------------------------------------------------
+
+_TOPK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # segment
+        st.integers(min_value=0, max_value=2),   # balance (ties!)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=_TOPK_ROWS)
+@settings(**_SETTINGS)
+def test_topk_per_group_ties_random(spark, tmp_path_factory, rows):
+    """Per-group top-3 must select identical rows on both engines when
+    the cut lands inside a tie group, and emit whole groups smaller
+    than k."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("topk_rand")
+    df = spark.createDataFrame(
+        [(i, s, b) for i, (s, b) in enumerate(rows)],
+        "c_custkey long, s int, b int",
+    ).select(
+        "c_custkey",
+        F.when(F.col("s") == 0, "BUILDING").otherwise("MACHINERY").alias(
+            "c_mktsegment"
+        ),
+        (F.col("b") * 100.0).cast("double").alias("c_acctbal"),
+    )
+    path = os.path.join(str(tmp), "customer.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["topk_per_group"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["topk_per_group"].oracle,
+        name="topk_random",
+    )
