@@ -1102,3 +1102,110 @@ def test_topk_per_group_ties_random(spark, tmp_path_factory, rows):
         REGISTRY["topk_per_group"].oracle,
         name="topk_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of with tolerance: random event/purchase streams with timestamps
+# at exact half-tolerance steps, so the freshness cut lands exactly ON
+# last_purchase_ts == ts - 30min, and same-ts purchase/event pairs
+# (a purchase is its own as-of match at zero lag)
+# ---------------------------------------------------------------------------
+
+_AT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=5),   # ts = k * 900 s
+        st.booleans(),                            # purchase?
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(rows=_AT_ROWS)
+@settings(**_SETTINGS)
+def test_asof_tolerance_boundary_random(spark, tmp_path_factory, rows):
+    """The as-of emulation with a staleness tolerance must match
+    DuckDB's native ASOF LEFT JOIN when the cut lands exactly on the
+    boundary (>= keeps it fresh) and when the event IS the purchase
+    (zero-lag self-match)."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("at_rand")
+    df = spark.createDataFrame(
+        [(i, u, k, p) for i, (u, k, p) in enumerate(rows)],
+        "event_id long, user_id long, k int, p boolean",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 900
+        ).alias("ts"),
+        F.when(F.col("p"), "purchase").otherwise("click").alias(
+            "event_type"
+        ),
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["join_asof_tolerance"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["join_asof_tolerance"].oracle,
+        name="asof_tolerance_random",
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward fill: random price series where whole leading runs are NULL
+# (fill must stay NULL until the first observation) and ties on the
+# order date force the unique-key tiebreak
+# ---------------------------------------------------------------------------
+
+_FF_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # custkey
+        st.integers(min_value=0, max_value=2),   # day offset (dups!)
+        st.integers(min_value=1, max_value=99),  # price units
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=_FF_ROWS)
+@settings(**_SETTINGS)
+def test_forward_fill_leading_nulls_random(spark, tmp_path_factory, rows):
+    """last_value IGNORE NULLS forward fill must agree on random
+    series including all-null and leading-null customers (orderkey % 3
+    nulling means consecutive index triples go missing) and duplicate
+    order dates."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("ff_rand")
+    df = spark.createDataFrame(
+        [(i, c, d, p) for i, (c, d, p) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, d int, p int",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("d"))
+        .cast("timestamp")
+        .alias("o_orderdate"),
+        (F.col("p") * 10.0).cast("double").alias("o_totalprice"),
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["window_forward_fill"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["window_forward_fill"].oracle,
+        name="forward_fill_random",
+    )
