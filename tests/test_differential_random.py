@@ -1209,3 +1209,52 @@ def test_forward_fill_leading_nulls_random(spark, tmp_path_factory, rows):
         REGISTRY["window_forward_fill"].oracle,
         name="forward_fill_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash-LSH near-dup: random tiny corpora from a 6-word vocabulary
+# (exact duplicates, shared-prefix near-dups, sub-3-word docs that
+# must be excluded from shingling on both engines) against the full
+# portable-md5 banding oracle
+# ---------------------------------------------------------------------------
+
+_MH_DOCS = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=5),   # word ids
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_MH_DOCS)
+@settings(**_SETTINGS)
+def test_minhash_banding_random(spark, tmp_path_factory, docs):
+    """The hand-rolled md5 MinHash signatures, band buckets, candidate
+    sets, and agreement estimates must be byte-identical across
+    engines on random corpora — including exact duplicates (est = 1),
+    near-dups from a tiny vocabulary, and documents too short to
+    shingle."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("mh_rand")
+    rows = [
+        (i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = os.path.join(str(tmp), "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'"
+    )
+    got = REGISTRY["dedup_fuzzy_minhash"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["dedup_fuzzy_minhash"].oracle,
+        name="minhash_random",
+    )
