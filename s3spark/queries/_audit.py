@@ -98,4 +98,8 @@ DIRTY_SINCE: dict = {
     # coalesce(1) (the 2-row local-relation coalesce stalled ~5 s on
     # scheduler locality wait); values untouched, code changed.
     "stream_outer_join_watermark": 9,
+    # Round 9: dim rows keep their real event_id so same-timestamp
+    # version ties break like the oracle's validity tiling (was
+    # partition-order luck; differential-test finding).
+    "join_scd2_point_in_time": 9,
 }

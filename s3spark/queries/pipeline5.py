@@ -599,14 +599,19 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ts', so the engine reuses join_asof's union-then-window
     emulation — ONE shuffle on user_id, one running-value window,
     O(n log n) at any scale.  Equivalence of the two spellings is the
-    oracle check itself.  Version rows order (ts, kind) with dim rows
-    first so a state change at the probe's exact timestamp is already
-    visible (valid_from <= ts, inclusive), matching the SQL."""
+    oracle check itself.  Version rows order (ts, kind, event_id) with
+    dim rows first so a state change at the probe's exact timestamp is
+    already visible (valid_from <= ts, inclusive), matching the SQL —
+    and dim rows KEEP their real event_id so two versions sharing one
+    timestamp tiebreak exactly like the oracle's lead(..., ORDER BY
+    ts, event_id) validity tiling (the earlier version gets a
+    zero-width interval; without the tiebreak, last() over the tie was
+    partition-order luck — round-9 differential-test finding)."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
     dim = e.filter(F.col("event_type").isin("signup", "click")).select(
-        F.lit(None).cast("long").alias("event_id"),
+        "event_id",
         "user_id",
         "ts",
         F.col("event_type").alias("ref_state"),
@@ -623,7 +628,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (

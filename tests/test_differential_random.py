@@ -1258,3 +1258,58 @@ def test_minhash_banding_random(spark, tmp_path_factory, docs):
         REGISTRY["dedup_fuzzy_minhash"].oracle,
         name="minhash_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time: random event streams with DUPLICATE dimension
+# timestamps (two state versions in one instant — the oracle's
+# event_id tiebreak gives the earlier one a zero-width validity) and
+# probes exactly at state-change instants
+# ---------------------------------------------------------------------------
+
+_PIT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=3),   # ts step (dups!)
+        st.integers(min_value=0, max_value=2),   # 0 signup, 1 click, 2 purchase
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=_PIT_ROWS)
+@settings(**_SETTINGS)
+def test_scd2_point_in_time_ties_random(spark, tmp_path_factory, rows):
+    """The as-of union-window emulation must match the oracle's
+    validity-interval tiling when two dimension versions share one
+    timestamp (the earlier by event_id gets a zero-width interval —
+    only the later is ever visible) and when probes land exactly on a
+    state change (inclusive valid_from)."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("pit_rand")
+    kinds = ["signup", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(i, u, k, kinds[t]) for i, (u, k, t) in enumerate(rows)],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 60
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["join_scd2_point_in_time"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["join_scd2_point_in_time"].oracle,
+        name="scd2_pit_random",
+    )
