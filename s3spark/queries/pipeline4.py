@@ -860,7 +860,17 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays N running values — bounded, survives 100 TB.  Reference
     rows sort before probes on timestamp ties (kind 0 < 1) so an
     example coinciding with a feature event sees it, matching
-    DuckDB's inclusive ASOF."""
+    DuckDB's inclusive ASOF.
+
+    Tie precondition (round-9 audit): if one user emits two SAME-type
+    feature events at one timestamp with DIFFERENT values, which one
+    wins is unspecified on BOTH engines (DuckDB's ASOF picks an
+    arbitrary equal-key row; last() over the window tie is
+    partition-order dependent here) — unlike join_scd2_point_in_time,
+    whose oracle tiles validity by event_id and where the emulation
+    was therefore made to tiebreak identically.  The fixture streams
+    are unique per (user, type, ts); a production feature store must
+    dedupe-to-latest upstream (dedup_keep_latest) before this join."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
