@@ -1313,3 +1313,87 @@ def test_scd2_point_in_time_ties_random(spark, tmp_path_factory, rows):
         REGISTRY["join_scd2_point_in_time"].oracle,
         name="scd2_pit_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# mode per group: random categorical draws where multiple types tie on
+# the max count (alphabetical tiebreak must pick identically); CDC
+# keep-latest: duplicate (user, ts) version ties broken by event_id
+# ---------------------------------------------------------------------------
+
+_MODE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=2),   # type id
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_MODE_ROWS)
+@settings(**_SETTINGS)
+def test_mode_per_group_ties_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("mode_rand")
+    kinds = ["click", "purchase", "view"]
+    df = spark.createDataFrame(
+        [(i, u, kinds[t]) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["agg_mode_per_group"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["agg_mode_per_group"].oracle,
+        name="mode_random",
+    )
+
+
+_KL_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=2),   # ts step (dups!)
+        st.integers(min_value=0, max_value=2),   # type id
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_KL_ROWS)
+@settings(**_SETTINGS)
+def test_dedup_keep_latest_ties_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("kl_rand")
+    kinds = ["click", "purchase", "view"]
+    df = spark.createDataFrame(
+        [(i, u, k, kinds[t]) for i, (u, k, t) in enumerate(rows)],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 60
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["dedup_keep_latest"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["dedup_keep_latest"].oracle,
+        name="keep_latest_random",
+    )
