@@ -1397,3 +1397,101 @@ def test_dedup_keep_latest_ties_random(spark, tmp_path_factory, rows):
         REGISTRY["dedup_keep_latest"].oracle,
         name="keep_latest_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC tombstones: random change logs where a delete and an upsert for
+# one key share a timestamp (event_id DESC must decide which is
+# "latest"); linear interpolation: random sparse daily series inside
+# the fixed 10-day spine, including single-observation users (no
+# interpolation possible) and observations on consecutive days
+# (degenerate 1-day segments)
+# ---------------------------------------------------------------------------
+
+_CDC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=2),   # ts step (dups!)
+        st.booleans(),                            # tombstone?
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_CDC_ROWS)
+@settings(**_SETTINGS)
+def test_cdc_tombstone_ties_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("cdc_rand")
+    df = spark.createDataFrame(
+        [
+            (i, u, k, "error" if d else "click")
+            for i, (u, k, d) in enumerate(rows)
+        ],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 60
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["cdc_apply_tombstones"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["cdc_apply_tombstones"].oracle,
+        name="cdc_random",
+    )
+
+
+_ITP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=9),   # day in the spine
+        st.integers(min_value=1, max_value=50),  # value units
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(rows=_ITP_ROWS)
+@settings(**_SETTINGS)
+def test_interpolate_linear_segments_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("itp_rand")
+    df = spark.createDataFrame(
+        [(i, u, d, v) for i, (u, d, v) in enumerate(rows)],
+        "event_id long, user_id long, d int, v int",
+    ).select(
+        "event_id",
+        "user_id",
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_dt_interval(F.col("d"))
+        ).alias("ts"),
+        F.lit("purchase").alias("event_type"),
+        (F.col("v") / 4.0).cast("double").alias("value"),
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["timeseries_interpolate_linear"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["timeseries_interpolate_linear"].oracle,
+        name="interpolate_random",
+    )
