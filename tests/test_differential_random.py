@@ -1495,3 +1495,104 @@ def test_interpolate_linear_segments_random(spark, tmp_path_factory, rows):
         REGISTRY["timeseries_interpolate_linear"].oracle,
         name="interpolate_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: random click/purchase streams where multiple
+# clicks share the purchase-preceding timestamp (event_id DESC tiebreak)
+# and clicks exactly AT the purchase instant (strict < excludes them)
+# or exactly 7 days before (inclusive window edge)
+# ---------------------------------------------------------------------------
+
+_ATTR_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=4),   # ts step (dups!)
+        st.booleans(),                            # purchase?
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=_ATTR_ROWS)
+@settings(**_SETTINGS)
+def test_attribution_last_touch_ties_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("attr_rand")
+    df = spark.createDataFrame(
+        [
+            (i, u, k, "purchase" if p else "click")
+            for i, (u, k, p) in enumerate(rows)
+        ],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 60
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["attribution_last_touch"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["attribution_last_touch"].oracle,
+        name="attribution_random",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern match: random v/c/p event paths with duplicate
+# timestamps — the aggregated path string depends on the (ts,
+# event_id) tie order being identical on both engines
+# ---------------------------------------------------------------------------
+
+_PAT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=2),   # ts step (dups!)
+        st.integers(min_value=0, max_value=2),   # 0 view 1 click 2 purchase
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_PAT_ROWS)
+@settings(**_SETTINGS)
+def test_pattern_match_path_order_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("pat_rand")
+    kinds = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(i, u, k, kinds[t]) for i, (u, k, t) in enumerate(rows)],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 60
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["window_pattern_match"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["window_pattern_match"].oracle,
+        name="pattern_match_random",
+    )
