@@ -1596,3 +1596,103 @@ def test_pattern_match_path_order_random(spark, tmp_path_factory, rows):
         REGISTRY["window_pattern_match"].oracle,
         name="pattern_match_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel stages: random signup/click/purchase streams where stage
+# events share timestamps (strict > between stages must exclude
+# same-instant progressions on both engines); interval subtraction:
+# random purchase/error streams whose +30min/+2h deltas collide at
+# identical sweep points (the grouped-point cancellation case)
+# ---------------------------------------------------------------------------
+
+_FUN_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=3),   # ts step (dups!)
+        st.integers(min_value=0, max_value=2),   # 0 signup 1 click 2 purchase
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=_FUN_ROWS)
+@settings(**_SETTINGS)
+def test_funnel_strict_ordering_random(spark, tmp_path_factory, rows):
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("fun_rand")
+    kinds = ["signup", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(i, u, k, kinds[t]) for i, (u, k, t) in enumerate(rows)],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 60
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["funnel_stages"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["funnel_stages"].oracle,
+        name="funnel_random",
+    )
+
+
+_SUB_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=5),   # ts = k * 30 min
+        st.booleans(),                            # error (blackout)?
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_SUB_ROWS)
+@settings(**_SETTINGS)
+def test_interval_subtract_collisions_random(spark, tmp_path_factory, rows):
+    """Timestamps at 30-minute steps make purchase-window ends collide
+    exactly with other purchases' starts and with error blackout
+    edges — the sweep's grouped-point cancellation (+1/-1 at one
+    instant) must resolve identically on both engines."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("sub_rand")
+    df = spark.createDataFrame(
+        [
+            (i, u, k, "error" if e else "purchase")
+            for i, (u, k, e) in enumerate(rows)
+        ],
+        "event_id long, user_id long, k int, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("k").cast("long") * 1800
+        ).alias("ts"),
+        "event_type",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["interval_subtract_measure"].fn(spark, str(tmp))
+    assert_same(
+        got,
+        con,
+        REGISTRY["interval_subtract_measure"].oracle,
+        name="interval_subtract_random",
+    )
