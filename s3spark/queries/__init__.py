@@ -84,6 +84,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline16,
     pipeline17,
     pipeline18,
+    pipeline19,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

@@ -70,13 +70,24 @@ SORT_FREE_KEYS: tuple = (
     "window_pattern_match", "window_rolling_median", "window_time_decay",
 )
 
+# Round-9 additions: new row-scale keys BORN sort-free (never had a
+# trailing sort to strip — the audit invariant applies from their
+# first commit, so the plan gate covers them; they are NOT round-8
+# rewrites and carry no DIRTY_SINCE entry from the sweep).
+_R9_SORT_FREE_NEW: tuple = (
+    "join_phonetic_soundex",
+    "scalar_point_in_polygon",
+)
+
+SORT_FREE_KEYS = SORT_FREE_KEYS + _R9_SORT_FREE_NEW
+
 # All round-8 rewrites: the 92 sort strips above plus the 5 substantive
 # rewrites (join strategy / shared-helper arithmetic / broadcast-hint
 # semantics).  50 of these cleared via green CORRECTNESS_r08 rows the
 # moment that artifact landed; the remaining 47 front the round-9
 # window and clear themselves when CORRECTNESS_r09.json is committed.
 DIRTY_SINCE: dict = {
-    **{k: 8 for k in SORT_FREE_KEYS},
+    **{k: 8 for k in SORT_FREE_KEYS if k not in _R9_SORT_FREE_NEW},
     "join_multiway": 8,
     "agg_countmin_sketch": 8,
     # Round 9: the three classical-stat tails gain degenerate-

@@ -107,7 +107,11 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-7c (batch twelve): orders-driven permutation test
              # (x64 row-local fan-out -> 64-row shuffle) and the
              # orders+events sequence audit (one reduction per series)
-             "stats_permutation_test", "dq_sequence_id_audit"]
+             "stats_permutation_test", "dq_sequence_id_audit",
+             # round-9 extension: orders-driven Gini stump (one
+             # reduction to <=500 candidate cells) and the fixed-width
+             # format round-trip (write + scan both scale with rows)
+             "ml_decision_stump", "scan_fixed_width"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -186,7 +190,15 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # rides the scan, partial-aggregated to 64 groups) and
             # RAKE keywords (vocab-bounded stats broadcast, TakeOrdered
             # top-K)
-            "stats_bootstrap_ci_poisson", "text_keyword_rake"]
+            "stats_bootstrap_ci_poisson", "text_keyword_rake",
+            # round-9 extension: customer/supplier-driven phonetic
+            # blocking (10x names sf0.01->sf0.1; bounded code space →
+            # occupancy grows linearly, pairs ~quadratic in occupancy
+            # over 10x more buckets ≈ linear), customer-driven
+            # map-only ray casting, and docs-driven naive bayes (one
+            # vocab-bounded model broadcast + fact-side score shuffle)
+            "join_phonetic_soundex", "scalar_point_in_polygon",
+            "ml_naive_bayes_text"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

@@ -1696,3 +1696,342 @@ def test_interval_subtract_collisions_random(spark, tmp_path_factory, rows):
         REGISTRY["interval_subtract_measure"].oracle,
         name="interval_subtract_random",
     )
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier: dominance boundary ties (round-9 extension sweep)
+# ---------------------------------------------------------------------------
+
+_PF_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # price units (ties!)
+        st.integers(min_value=0, max_value=4),   # size (ties!)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_PF_ROWS)
+@settings(**_SETTINGS)
+def test_pareto_frontier_boundary_ties_random(spark, tmp_path_factory, rows):
+    """Skyline tie semantics at every boundary the fixture can't hit
+    densely: duplicate (price, size) points (dominate neither → both
+    survive), equal-size points in strictly-cheaper buckets (dominated
+    — the staircase prefilter's strict `>` is load-bearing), and
+    single-bucket inputs (prefilter NULL prev_max path)."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("pareto_rand")
+    df = spark.createDataFrame(
+        [
+            (i, float(p) + 0.5, s)
+            for i, (p, s) in enumerate(rows)
+        ],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    path = os.path.join(str(tmp), "part.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["pareto_frontier"].fn(spark, str(tmp))
+    assert_same(got, con, REGISTRY["pareto_frontier"].oracle,
+                name="pareto_random")
+    # independent python skyline over the same points
+    pts = {(i, rows[i][0], rows[i][1]) for i in range(len(rows))}
+    keep = set()
+    for (i, p, s) in pts:
+        dominated = any(
+            (qp <= p and qs >= s and (qp < p or qs > s))
+            for (j, qp, qs) in pts
+            if j != i
+        )
+        if not dominated:
+            keep.add(i)
+    got_keys = {r.p_partkey for r in got.collect()}
+    assert got_keys == keep
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorize: percentile interpolation on tied/degenerate inputs
+# ---------------------------------------------------------------------------
+
+_WZ_ROWS = st.lists(
+    st.integers(min_value=0, max_value=8),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(vals=_WZ_ROWS)
+@settings(**_SETTINGS)
+def test_winsorize_percentile_boundaries_random(
+    spark, tmp_path_factory, vals
+):
+    """p5/p95 interpolation under heavy duplication, all-equal inputs
+    and 1-row inputs: Spark percentile() and DuckDB quantile_cont must
+    agree bit-wise on integer-valued doubles (the rolling-median
+    precedent) and the clip count must follow."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("winsor_rand")
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "o_totalprice double"
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["agg_winsorize"].fn(spark, str(tmp))
+    assert_same(got, con, REGISTRY["agg_winsorize"].oracle,
+                name="winsorize_random")
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_greedy: exact-fit bin boundaries
+# ---------------------------------------------------------------------------
+
+_PK_ROWS = st.lists(
+    st.sampled_from([500, 1000, 1500, 2000, 2500, 1]),  # budget divisors
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(lens=_PK_ROWS)
+@settings(**_SETTINGS)
+def test_pack_sequences_exact_fit_random(spark, tmp_path_factory, lens):
+    """Bin assignment when running totals land EXACTLY on the 2000
+    budget: floor((running - own)/2000) must open the next bin at the
+    boundary, identically on both engines (the floor-vs-cast and
+    double-division hazards), pinned against a python replay."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("pack_rand")
+    df = spark.createDataFrame(
+        [(i, "s0" if i % 2 == 0 else "s1", n) for i, n in enumerate(lens)],
+        "doc_id long, source string, n_chars long",
+    )
+    path = os.path.join(str(tmp), "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["pack_sequences_greedy"].fn(spark, str(tmp))
+    assert_same(got, con, REGISTRY["pack_sequences_greedy"].oracle,
+                name="pack_random")
+    # python replay of the running-total relaxation
+    bins: dict = {}
+    for src in ("s0", "s1"):
+        run = 0
+        for i, n in sorted(
+            (i, n) for i, n in enumerate(lens)
+            if (("s0" if i % 2 == 0 else "s1") == src)
+        ):
+            b = run // 2000
+            run += n
+            k = (src, b)
+            d, c = bins.get(k, (0, 0))
+            bins[k] = (d + 1, c + n)
+    got_map = {
+        (r.source, r.bin): (r.n_docs, r.bin_chars) for r in got.collect()
+    }
+    assert got_map == bins
+
+
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters_twopass: counts exactly AT the threshold
+# ---------------------------------------------------------------------------
+
+_HH_ROWS = st.lists(
+    st.integers(min_value=0, max_value=3),  # 4 keys, heavy duplication
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(keys=_HH_ROWS)
+@settings(**_SETTINGS)
+def test_heavy_hitters_threshold_boundary_random(
+    spark, tmp_path_factory, keys
+):
+    """Keys with exactly T occurrences must NOT report (strictly > T),
+    keys with T+1 must; bucket-prune false positives (a light key
+    sharing a heavy bucket) must be removed by the exact second pass."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("hh_rand")
+    # plant one key at exactly T=18 and one at T+1 alongside the
+    # random tail so the boundary always exists
+    planted = [100] * 18 + [101] * 19
+    allkeys = keys + planted
+    df = spark.createDataFrame(
+        [(k,) for k in allkeys], "o_custkey long"
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["agg_heavy_hitters_twopass"].fn(spark, str(tmp))
+    rows = {r.o_custkey: r.n_orders for r in got.collect()}
+    assert 100 not in rows and rows.get(101) == 19
+    assert_same(got, con, REGISTRY["agg_heavy_hitters_twopass"].oracle,
+                name="heavy_hitters_random")
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump: planted price-dependent signal
+# ---------------------------------------------------------------------------
+
+_STUMP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),     # $1000 bucket
+        st.integers(min_value=0, max_value=9),     # noise digit
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+@given(rows=_STUMP_ROWS)
+@settings(**_SETTINGS)
+def test_decision_stump_planted_signal_random(
+    spark, tmp_path_factory, rows
+):
+    """A label that truly depends on price (urgent below $4000, 10%
+    noise) — the stump must select the SAME candidate as a plain
+    python argmin over exact bucket counts, and match its oracle."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("stump_rand")
+    assume(len({b for b, _ in rows}) >= 2)
+    data = []
+    for b, noise in rows:
+        price = b * 1000 + 137.25
+        y = 1 if (b < 4) != (noise == 0) else 0
+        data.append(
+            (price, "1-URGENT" if y else "5-LOW")
+        )
+    df = spark.createDataFrame(
+        data, "o_totalprice double, o_orderpriority string"
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["ml_decision_stump"].fn(spark, str(tmp))
+    assert_same(got, con, REGISTRY["ml_decision_stump"].oracle,
+                name="stump_random")
+    # python argmin replay (same shared-text arithmetic)
+    cells: dict = {}
+    for (b, noise), (price, prio) in zip(rows, data):
+        n, p = cells.get(b, (0, 0))
+        cells[b] = (n + 1, p + (1 if prio == "1-URGENT" else 0))
+    ntot = sum(n for n, _ in cells.values())
+    ptot = sum(p for _, p in cells.values())
+    best, nl, pl = None, 0, 0
+    for b in sorted(cells):
+        n, p = cells[b]
+        nl, pl = nl + n, pl + p
+        nr, pr = ntot - nl, ptot - pl
+        if nr == 0:
+            continue
+        g = (
+            nl - (pl * pl + (nl - pl) * (nl - pl)) / nl
+            + nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        ) / ntot
+        if best is None or (g, (b + 1) * 1000) < best:
+            best = (g, (b + 1) * 1000)
+    out = got.collect()
+    if best is None:
+        assert out == []
+    else:
+        assert out[0].threshold_dollars == best[1]
+
+
+# ---------------------------------------------------------------------------
+# join_phonetic_soundex: portable code vs native on random names
+# ---------------------------------------------------------------------------
+
+_SDX_NAMES = st.lists(
+    st.text(
+        alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ", min_size=1, max_size=9
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(names=_SDX_NAMES)
+@settings(**_SETTINGS)
+def test_soundex_portable_random_names(spark, tmp_path_factory, names):
+    """The hand-rolled Soundex must equal Spark's native soundex() AND
+    DuckDB's evaluation of the identical expression on arbitrary
+    uppercase names — full alphabet, vowel-only names, H/W runs."""
+    from s3spark.queries.pipeline19 import _soundex_sql
+
+    tmp = tmp_path_factory.mktemp("sdx_rand")
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+    path = os.path.join(str(tmp), "names.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW names AS SELECT * FROM '{path}/*.parquet'")
+    expr = _soundex_sql("nm")
+    spark.read.parquet(path).createOrReplaceTempView("rand_names")
+    sp = {
+        (r.nm, r.hand, r.native)
+        for r in spark.sql(
+            f"SELECT nm, {expr} AS hand, soundex(nm) AS native"
+            " FROM rand_names"
+        ).collect()
+    }
+    for nm, hand, native in sp:
+        assert hand == native, (nm, hand, native)
+    du = {
+        (nm, hand)
+        for nm, hand in con.execute(
+            f"SELECT nm, {expr} AS hand FROM names"
+        ).fetchall()
+    }
+    assert {(nm, hand) for nm, hand, _ in sp} == du
+
+
+# ---------------------------------------------------------------------------
+# scalar_point_in_polygon: edge- and vertex-incident points
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_polygon_edge_incident_points(spark):
+    """Points exactly ON edges and vertices (cross = 0 or y-interval
+    endpoints) must classify identically in Spark, DuckDB, and the
+    python ray caster — the even-odd rule's half-open boundaries are
+    where implementations usually disagree."""
+    from s3spark.queries.pipeline19 import (
+        _PIP_VERTS,
+        _pip_inside_sql,
+    )
+    from tests.test_pipeline19 import _brute_inside
+
+    pts = list(_PIP_VERTS)
+    n = len(_PIP_VERTS)
+    for i in range(n):
+        x1, y1 = _PIP_VERTS[i]
+        x2, y2 = _PIP_VERTS[(i + 1) % n]
+        pts.append(((x1 + x2) // 2, (y1 + y2) // 2))  # near-midpoints
+    pts += [(0, 0), (65535, 65535), (30000, 30000)]
+    ins = _pip_inside_sql("px", "py")
+    values = ", ".join(f"({x}, {y})" for x, y in pts)
+    q = (
+        f"SELECT px, py, CAST({ins} AS BIGINT) AS inside"
+        f" FROM (VALUES {values}) AS t(px, py)"
+    )
+    sp = {(r.px, r.py): r.inside for r in spark.sql(q).collect()}
+    con = duckdb.connect()
+    du = {(x, y): i for x, y, i in con.execute(q).fetchall()}
+    assert sp == du
+    for (x, y), flag in sp.items():
+        assert flag == _brute_inside(x, y), (x, y)

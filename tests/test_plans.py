@@ -398,6 +398,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "timeseries_theil_sen",
         # 1-row threshold + 1-row observed-diff broadcasts
         "stats_permutation_test",
+        # 1-row vocabulary-size broadcast (Laplace denominator)
+        "ml_naive_bayes_text",
     }
     offenders = []
     for name in sorted(REGISTRY):
