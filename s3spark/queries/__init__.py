@@ -85,6 +85,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline17,
     pipeline18,
     pipeline19,
+    pipeline20,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

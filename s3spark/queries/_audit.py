@@ -77,6 +77,7 @@ SORT_FREE_KEYS: tuple = (
 _R9_SORT_FREE_NEW: tuple = (
     "join_phonetic_soundex",
     "scalar_point_in_polygon",
+    "join_bitemporal",
 )
 
 SORT_FREE_KEYS = SORT_FREE_KEYS + _R9_SORT_FREE_NEW

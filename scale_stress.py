@@ -111,7 +111,12 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # round-9 extension: orders-driven Gini stump (one
              # reduction to <=500 candidate cells) and the fixed-width
              # format round-trip (write + scan both scale with rows)
-             "ml_decision_stump", "scan_fixed_width"]
+             "ml_decision_stump", "scan_fixed_width",
+             # round-9 extension batch two: orders-driven bitemporal
+             # top-1 window (one entity shuffle) and the lineitem
+             # checksum (three map-side-combined reductions + one
+             # scratch write/read)
+             "join_bitemporal", "dq_table_checksum"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -198,7 +203,12 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # map-only ray casting, and docs-driven naive bayes (one
             # vocab-bounded model broadcast + fact-side score shuffle)
             "join_phonetic_soundex", "scalar_point_in_polygon",
-            "ml_naive_bayes_text"]
+            "ml_naive_bayes_text",
+            # round-9 extension batch two: events-driven Allen pair
+            # classification (per-user equi-join, linear pair volume)
+            # and docs-driven LLR collocations (one bigram shuffle,
+            # vocab-bounded marginals)
+            "join_interval_allen", "text_collocations_llr"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

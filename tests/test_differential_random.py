@@ -2035,3 +2035,133 @@ def test_point_in_polygon_edge_incident_points(spark):
     assert sp == du
     for (x, y), flag in sp.items():
         assert flag == _brute_inside(x, y), (x, y)
+
+
+# ---------------------------------------------------------------------------
+# join_bitemporal: same-instant version ties and cutoff boundaries
+# ---------------------------------------------------------------------------
+
+_BT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # custkey
+        st.integers(min_value=2553, max_value=2562),  # valid_d band
+        st.integers(min_value=0, max_value=9),      # orderkey tail
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=_BT_ROWS)
+@settings(**_SETTINGS)
+def test_bitemporal_tie_and_cutoff_random(spark, tmp_path_factory, rows):
+    """Versions straddling BOTH cutoffs (valid_d around V=2557, tx
+    lateness pushing past T=2558) plus same-(valid_d, tx_d) ties that
+    only version_id can break — the SCD2 tie lesson, pinned for the
+    second time axis."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("bt_rand")
+    # o_orderdate = 1990-01-01 + valid_d days; orderkey gives lateness
+    import datetime
+
+    base = datetime.datetime(1990, 1, 1)
+    data = [
+        (
+            i * 10 + tail,  # orderkey: distinct, tail sets lateness
+            k,
+            base + datetime.timedelta(days=vd),
+            float(100 + i),
+            "1-URGENT",
+            "O",
+        )
+        for i, (k, vd, tail) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double, o_orderpriority string,"
+        " o_orderstatus string",
+    )
+    path = os.path.join(str(tmp), "orders.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["join_bitemporal"].fn(spark, str(tmp))
+    assert_same(got, con, REGISTRY["join_bitemporal"].oracle,
+                name="bitemporal_random")
+
+
+# ---------------------------------------------------------------------------
+# join_interval_allen: all 13 relations on planted small coordinates
+# ---------------------------------------------------------------------------
+
+_AL_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # user
+        st.integers(min_value=0, max_value=6),   # start minute
+        st.integers(min_value=0, max_value=4),   # event_id tail (dur)
+        st.booleans(),                            # purchase vs error
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(rows=_AL_ROWS)
+@settings(**_SETTINGS)
+def test_allen_all_relations_random(spark, tmp_path_factory, rows):
+    """Tiny integer minute-grid intervals make ALL 13 Allen relations
+    reachable (equals/starts/finishes need exact endpoint ties the
+    fixture's clock rarely produces); spark, DuckDB, and the python
+    classifier must agree on every pair."""
+    import datetime
+
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+    from tests.test_pipeline20 import _allen
+
+    tmp = tmp_path_factory.mktemp("allen_rand")
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (
+            i * 5 + tail,  # event_id: tail selects duration 5..25
+            u,
+            base + datetime.timedelta(minutes=m),
+            "purchase" if is_a else "error",
+            1.0,
+            "{}",
+        )
+        for i, (u, m, tail, is_a) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double, props string",
+    )
+    path = os.path.join(str(tmp), "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    got = REGISTRY["join_interval_allen"].fn(spark, str(tmp))
+    assert_same(got, con, REGISTRY["join_interval_allen"].oracle,
+                name="allen_random")
+    # python replay over the same construction
+    M = 60_000_000
+    epoch = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    a, b = [], []
+    for i, (u, m, tail, is_a) in enumerate(rows):
+        s = (epoch + m * 60) * 1_000_000
+        eid = i * 5 + tail
+        if is_a:
+            a.append((u, s, s + (5 + (eid % 5) * 5) * M))
+        else:
+            b.append((u, s, s + 15 * M))
+    counts: dict = {}
+    for u, a_s, a_e in a:
+        for v, b_s, b_e in b:
+            if u == v:
+                rel = _allen(a_s, a_e, b_s, b_e)
+                counts[rel] = counts.get(rel, 0) + 1
+    assert {r.relation: r.n_pairs for r in got.collect()} == counts

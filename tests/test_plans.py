@@ -400,6 +400,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "stats_permutation_test",
         # 1-row vocabulary-size broadcast (Laplace denominator)
         "ml_naive_bayes_text",
+        # 1-row total-bigram-count broadcast (contingency marginals)
+        "text_collocations_llr",
     }
     offenders = []
     for name in sorted(REGISTRY):
