@@ -114,4 +114,19 @@ DIRTY_SINCE: dict = {
     # version ties break like the oracle's validity tiling (was
     # partition-order luck; differential-test finding).
     "join_scd2_point_in_time": 9,
+    # Round-9 extension: the degenerate-denominator sweep applied
+    # BEYOND the stats16 family — zero-variance Pearson (builtin corr
+    # throws under ANSI), singular normal equations, constant-series
+    # ACF, empty-feed Benford, single-token Zipf (incl. the flag),
+    # zero-norm cosine exclusion, and the time-decay λ-safe horizon
+    # guard.  Fixture values unchanged (sims green at 3 SFs × 5/8
+    # partitions); expression texts changed.
+    "agg_corr_stddev": 9,
+    "ml_linreg_normal_eq": 9,
+    "timeseries_autocorrelation": 9,
+    "dq_benford_first_digit": 9,
+    "text_zipf_fit": 9,
+    "sim_cosine_topk": 9,
+    "dedup_embedding_cosine": 9,
+    "window_time_decay": 9,
 }

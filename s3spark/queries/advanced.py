@@ -87,12 +87,28 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pearson r as the covar/stddev composition with an explicit
+# zero-variance branch: Spark's builtin corr() performs its final
+# division unconditionally, and under ANSI (the Spark 4 default) a
+# zero-variance group THROWS DIVIDE_BY_ZERO where DuckDB's corr()
+# returns NULL — the round-9 degenerate-denominator class, found by
+# the same hypothesis sweep.  The composition is corr's own formula
+# over the same one-pass covar/M2 state, so fixture values are
+# unchanged at the 6 dp contract.
+_CORR_GUARDED = """CASE
+  WHEN stddev_samp(l_quantity) = 0 OR stddev_samp(l_extendedprice) = 0
+  THEN CAST(NULL AS DOUBLE)
+  ELSE covar_samp(l_quantity, l_extendedprice)
+       / (stddev_samp(l_quantity) * stddev_samp(l_extendedprice))
+END"""
+
+
 @register(
     "agg_corr_stddev",
-    oracle="""
+    oracle=f"""
 SELECT
   l_returnflag,
-  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  round({_CORR_GUARDED}, 6) AS qty_price_corr,
   round(stddev_samp(l_extendedprice), 4) AS price_stddev,
   COUNT(*) AS n
 FROM lineitem
@@ -104,14 +120,19 @@ def agg_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: Pearson correlation (scale-free, stable
     at 6 dp) and sample stddev (rounded to 4 dp — the one aggregate
     family where float summation order genuinely matters; both engines
-    use numerically-stable one-pass updates)."""
+    use numerically-stable one-pass updates).
+
+    The correlation is the covar_samp/(σx·σy) composition with an
+    explicit zero-variance NULL branch in SHARED text: ANSI Spark's
+    builtin corr() throws DIVIDE_BY_ZERO on a constant column where
+    DuckDB returns NULL (a degenerate cohort must not crash the job);
+    a 1-row group yields NULL on both engines through the same
+    NULL-propagating ELSE."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "qty_price_corr"
-            ),
+            F.round(F.expr(_CORR_GUARDED), 6).alias("qty_price_corr"),
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
             F.count(F.lit(1)).alias("n"),
         )

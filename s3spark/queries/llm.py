@@ -415,12 +415,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", sig.alias("simhash"))
 
 
+# Zero-norm vectors (an all-zero embedding — a real artifact of failed
+# encoder runs) have no direction: cosine is 0/0, which ANSI Spark
+# throws on and DuckDB NULLs.  Both engines EXCLUDE them up front —
+# the standard similarity-search contract (round-9 degenerate sweep).
 _EMB_COS_SQL = """
-WITH d AS (
+WITH d0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   WHERE vec_id < 500
-)
+),
+d AS (SELECT * FROM d0 WHERE list_dot_product(v, v) > 0)
 SELECT
   a.vec_id AS vec_a,
   b.vec_id AS vec_b,
@@ -447,16 +452,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sf0.1 bench spends 2+ minutes on 2M HOF-fold pairs that the
     ANN keys exist to avoid."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    # zero-norm vectors have no direction — excluded on BOTH engines
+    # (ANSI Spark would throw DIVIDE_BY_ZERO on the 0/0 cosine)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
         _norm(F.col("embedding")).alias("na"),
-    )
+    ).filter(F.col("na") > 0)
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
         _norm(F.col("embedding")).alias("nb"),
-    )
+    ).filter(F.col("nb") > 0)
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -471,10 +478,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOPK_SQL = """
-WITH d AS (
+WITH d0 AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
+d AS (SELECT * FROM d0 WHERE list_dot_product(v, v) > 0),
 q AS (SELECT * FROM d WHERE vec_id < 5),
 scored AS (
   SELECT
@@ -503,9 +511,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast (5 rows), so the candidate scan is one pass, no
     shuffle until the tiny top-k."""
     e = table(spark, sf_dir, "embeddings")
+    # zero-norm vectors excluded on both engines (0/0 cosine: ANSI
+    # Spark throws, DuckDB NULLs — round-9 degenerate sweep)
     d = e.select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nc")
-    )
+    ).filter(F.col("nc") > 0)
     q = d.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

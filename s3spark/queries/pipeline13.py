@@ -40,6 +40,17 @@ from s3spark.registry import register
 
 _ACF_LAGS = 7
 
+
+def _acf_term(k: int) -> str:
+    """Guarded ACF ratio for lag k (round-9 degenerate sweep): a
+    CONSTANT series has den = Σy² exactly 0 (integer arithmetic), the
+    ACF is undefined, and ANSI Spark would throw DIVIDE_BY_ZERO where
+    DuckDB returns NULL — the shared CASE emits NULL on both."""
+    return (
+        f"CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST(CAST(n{k} AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE) END"
+    )
+
 _ACF_ORACLE = """
 WITH daily AS (
   SELECT o_orderdate AS d,
@@ -76,17 +87,15 @@ w AS (
   FROM l
 )
 SELECT lag, acf, n_days FROM (
-  SELECT CAST(1 AS BIGINT) AS lag,
-         CAST(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE) AS acf,
-         n_days FROM w
-  UNION ALL SELECT 2, CAST(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE), n_days FROM w
-  UNION ALL SELECT 3, CAST(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE), n_days FROM w
-  UNION ALL SELECT 4, CAST(CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE), n_days FROM w
-  UNION ALL SELECT 5, CAST(CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE), n_days FROM w
-  UNION ALL SELECT 6, CAST(CAST(n6 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE), n_days FROM w
-  UNION ALL SELECT 7, CAST(CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE), n_days FROM w
+  SELECT CAST(1 AS BIGINT) AS lag, {T1} AS acf, n_days FROM w
+  UNION ALL SELECT 2, {T2}, n_days FROM w
+  UNION ALL SELECT 3, {T3}, n_days FROM w
+  UNION ALL SELECT 4, {T4}, n_days FROM w
+  UNION ALL SELECT 5, {T5}, n_days FROM w
+  UNION ALL SELECT 6, {T6}, n_days FROM w
+  UNION ALL SELECT 7, {T7}, n_days FROM w
 ) ORDER BY lag
-"""
+""".format(**{f"T{k}": _acf_term(k) for k in range(1, 8)})
 
 
 @register("timeseries_autocorrelation", oracle=_ACF_ORACLE)
@@ -138,7 +147,7 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     stack_args = ", ".join(
-        f"CAST({k} AS BIGINT), CAST(CAST(n{k} AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE)"
+        f"CAST({k} AS BIGINT), {_acf_term(k)}"
         for k in range(1, _ACF_LAGS + 1)
     )
     return (

@@ -202,11 +202,34 @@ _ZIPF_K = 500  # top-K frequency cut; rank window runs on <=K rows
 # Least-squares fit of ln(freq) = intercept + slope·ln(rank) from
 # decimal-partial-summed products of bit-identical doubles (ln of exact
 # integers on both engines), shared expression text throughout.
-_Z_SLOPE = "(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE))"
-_Z_INTER = f"((CAST(sy AS DOUBLE) - ({_Z_SLOPE}) * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE))"
+# Degenerate guards (round-9 sweep, applied family-wide): a SINGLE
+# distinct token makes the rank-variance denominator k·sxx − sx²
+# EXACTLY zero (decimal arithmetic — an exact singularity test) and
+# an empty corpus makes k = 0; ANSI Spark throws DIVIDE_BY_ZERO where
+# DuckDB returns NULL, so the shared CASEs emit NULL on both — and the
+# zipf_like flag is NULL too (an undefined fit is "no evidence", never
+# a verdict).  All-equal frequencies additionally zero the y-variance,
+# which nulls only r2 (the slope 0 is still defined).
+_Z_XDEN = "(k * sxx - sx * sx)"
+_Z_UNDEF = f"(k = 0 OR {_Z_XDEN} = 0)"
+_Z_SLOPE_RAW = (
+    f"(CAST(k * sxy - sx * sy AS DOUBLE) / CAST({_Z_XDEN} AS DOUBLE))"
+)
+_Z_SLOPE = (
+    f"(CASE WHEN {_Z_UNDEF} THEN CAST(NULL AS DOUBLE)"
+    f" ELSE {_Z_SLOPE_RAW} END)"
+)
+_Z_INTER = (
+    f"(CASE WHEN {_Z_UNDEF} THEN CAST(NULL AS DOUBLE)"
+    f" ELSE ((CAST(sy AS DOUBLE) - ({_Z_SLOPE_RAW}) * CAST(sx AS DOUBLE))"
+    f" / CAST(k AS DOUBLE)) END)"
+)
 _Z_R2 = (
-    "((CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE)) / "
-    "(CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)))"
+    f"(CASE WHEN {_Z_UNDEF} OR k * syy - sy * sy = 0"
+    f" THEN CAST(NULL AS DOUBLE)"
+    f" ELSE ((CAST(k * sxy - sx * sy AS DOUBLE)"
+    f" * CAST(k * sxy - sx * sy AS DOUBLE)) / "
+    f"(CAST({_Z_XDEN} AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE))) END)"
 )
 
 _Z_TAIL = (
@@ -214,7 +237,8 @@ _Z_TAIL = (
     f"CAST({_Z_SLOPE} AS DOUBLE) AS zipf_slope",
     f"CAST({_Z_INTER} AS DOUBLE) AS zipf_intercept",
     f"CAST({_Z_R2} AS DOUBLE) AS r2",
-    f"CAST(CASE WHEN ({_Z_SLOPE}) <= -0.5 THEN 1 ELSE 0 END AS BIGINT)"
+    f"CAST(CASE WHEN {_Z_UNDEF} THEN NULL"
+    f" WHEN ({_Z_SLOPE_RAW}) <= -0.5 THEN 1 ELSE 0 END AS BIGINT)"
     " AS zipf_like",
 )
 

@@ -64,13 +64,28 @@ _LR_NUM2 = (
     " + t0*(s01*s12 - s11*s02))"
 )
 
-_LR_SOLVE = (
-    "CAST(s00 AS BIGINT) AS n_rows, "
-    f"CAST({_LR_NUM0} AS DOUBLE) / CAST({_LR_DET} AS DOUBLE)"
-    " AS b_intercept, "
-    f"CAST({_LR_NUM1} AS DOUBLE) / CAST({_LR_DET} AS DOUBLE) AS b_qty, "
-    f"CAST({_LR_NUM2} AS DOUBLE) / CAST({_LR_DET} AS DOUBLE) AS b_disc"
+# Singular-system guard (round-9 degenerate sweep): a constant or
+# collinear feature makes the Gram determinant EXACTLY zero (integer
+# arithmetic, so `det = 0` is a precise singularity test, not an
+# epsilon); ANSI Spark throws DIVIDE_BY_ZERO even on DOUBLE/DOUBLE
+# where DuckDB returns NULL — the shared CASE makes both engines emit
+# NULL coefficients for an unidentifiable model.
+def _lr_coef(num: str, alias: str) -> str:
+    return (
+        f"CASE WHEN {_LR_DET} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE CAST({num} AS DOUBLE) / CAST({_LR_DET} AS DOUBLE) END"
+        f" AS {alias}"
+    )
+
+
+_LR_SOLVE_LIST = (
+    "CAST(s00 AS BIGINT) AS n_rows",
+    _lr_coef(_LR_NUM0, "b_intercept"),
+    _lr_coef(_LR_NUM1, "b_qty"),
+    _lr_coef(_LR_NUM2, "b_disc"),
 )
+
+_LR_SOLVE = ", ".join(_LR_SOLVE_LIST)
 
 _LR_ORACLE = f"""
 WITH f AS (
@@ -134,7 +149,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x1") * F.col("y")).cast(d38)).alias("t1"),
         F.sum((F.col("x2") * F.col("y")).cast(d38)).alias("t2"),
     )
-    return m.selectExpr(*_LR_SOLVE.split(", "))
+    return m.selectExpr(*_LR_SOLVE_LIST)
 
 
 # --------------------------------------------------------------------------
@@ -239,11 +254,14 @@ obs AS (
 tot AS (SELECT SUM(n) AS total FROM obs)
 SELECT exp.digit,
        CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
-       CAST(COALESCE(obs.n, 0) AS DOUBLE) / CAST(tot.total AS DOUBLE)
-         AS observed_share,
+       CASE WHEN COALESCE(tot.total, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(COALESCE(obs.n, 0) AS DOUBLE)
+                 / CAST(tot.total AS DOUBLE) END AS observed_share,
        exp.expected_share,
-       abs(CAST(COALESCE(obs.n, 0) AS DOUBLE) / CAST(tot.total AS DOUBLE)
-           - exp.expected_share) AS abs_dev
+       CASE WHEN COALESCE(tot.total, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE abs(CAST(COALESCE(obs.n, 0) AS DOUBLE)
+                     / CAST(tot.total AS DOUBLE) - exp.expected_share)
+       END AS abs_dev
 FROM exp LEFT JOIN obs ON exp.digit = obs.digit CROSS JOIN tot
 ORDER BY exp.digit
 """
@@ -288,12 +306,19 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = exp.join(obs, "digit", "left").withColumn(
         "n", F.coalesce("n", F.lit(0).cast("long"))
     )
-    # 9-row total: the unpartitioned window is bounded by construction
+    # 9-row total: the unpartitioned window is bounded by construction.
+    # Empty-input guard (round-9 degenerate sweep): with zero orders
+    # the coalesced total is exactly 0, ANSI Spark throws
+    # DIVIDE_BY_ZERO, and the oracle's NULL total silently yields NULL
+    # — the explicit CASE gives BOTH engines NULL shares (an audit
+    # over an empty feed is "no evidence", not a crash).
     total = F.sum("n").over(Window.partitionBy())
     return (
         joined.withColumn(
             "observed_share",
-            F.col("n").cast("double") / total.cast("double"),
+            F.when(total == 0, F.lit(None).cast("double")).otherwise(
+                F.col("n").cast("double") / total.cast("double")
+            ),
         )
         .select(
             "digit",

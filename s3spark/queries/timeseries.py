@@ -253,9 +253,25 @@ def window_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sec = F.col("ts").cast("double")
     h = (sec - F.min(sec).over(wu)) / 3600.0
     base = e.select("user_id", "event_id", "value", h.alias("h"))
-    s = F.sum(
-        (F.col("value") * F.exp(0.01 * F.col("h"))).cast("decimal(25,6)")
-    ).over(w)
+    # λ-safe horizon guard (round-9 degenerate sweep): the cumsum
+    # factoring carries value·exp(λh) through DECIMAL(25,6), which
+    # overflows once a user's span exceeds ~3600 h (exp(36) ≈ 4e15 ×
+    # value magnitudes ≈ the 19-digit decimal ceiling) — under ANSI
+    # that dies as a cryptic NUMERIC_VALUE_OUT_OF_RANGE mid-window.
+    # The guard lives INSIDE the summed expression (an assert-only
+    # column would be pruned — the with_cum_less lesson) and raises an
+    # ACTIONABLE contract error instead; spans beyond the horizon need
+    # the segmented log-sum-exp formulation, deliberately out of scope.
+    # The fixture's per-user spans are far inside the horizon at every
+    # SF, so fixture values are untouched (pinned in tests).
+    term = F.expr(
+        "CASE WHEN h > 3600 THEN CAST(raise_error("
+        "'window_time_decay: per-user span exceeds the lambda-safe "
+        "3600 h horizon (exp weight overflows DECIMAL(25,6)); segment "
+        "the series before decaying') AS DOUBLE) "
+        "ELSE value * exp(0.01 * h) END"
+    )
+    s = F.sum(term.cast("decimal(25,6)")).over(w)
     return (
         base.withColumn("s", s)
         .select(

@@ -2165,3 +2165,199 @@ def test_allen_all_relations_random(spark, tmp_path_factory, rows):
                 rel = _allen(a_s, a_e, b_s, b_e)
                 counts[rel] = counts.get(rel, 0) + 1
     assert {r.relation: r.n_pairs for r in got.collect()} == counts
+
+
+# ---------------------------------------------------------------------------
+# Round-9 extension degenerate sweep: the ANSI divide-by-zero /
+# decimal-overflow class, applied beyond the stats16 family.  Each test
+# runs a key on a deliberately degenerate generated fixture where ANSI
+# Spark used to throw (DIVIDE_BY_ZERO / NUMERIC_VALUE_OUT_OF_RANGE)
+# while DuckDB returned NULL — the guarded rewrites must agree.
+# ---------------------------------------------------------------------------
+
+
+def _fixture_dir(spark, tmp_path_factory, name, tables):
+    import s3spark.queries  # noqa: F401
+
+    tmp = tmp_path_factory.mktemp(name)
+    con = duckdb.connect()
+    for tname, (rows, schema) in tables.items():
+        df = spark.createDataFrame(rows, schema)
+        path = os.path.join(str(tmp), f"{tname}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM '{path}/*.parquet'"
+        )
+    return str(tmp), con
+
+
+_LI_SCHEMA = (
+    "l_orderkey long, l_linenumber long, l_quantity double,"
+    " l_discount double, l_tax double, l_extendedprice double,"
+    " l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+_ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def test_corr_zero_variance_degenerate(spark, tmp_path_factory):
+    """Constant quantity AND price per group: Pearson r is undefined —
+    the guarded composition must emit NULL on both engines (builtin
+    Spark corr threw DIVIDE_BY_ZERO under ANSI)."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, i, 5.0, 0.1, 0.02, 100.0, "N", "O", t0) for i in range(6)]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "corr_degen",
+        {"lineitem": (rows, _LI_SCHEMA)},
+    )
+    q = REGISTRY["agg_corr_stddev"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="corr_degen")
+    assert got.collect()[0].qty_price_corr is None
+
+
+def test_linreg_singular_degenerate(spark, tmp_path_factory):
+    """Constant features make the Gram determinant exactly zero: the
+    model is unidentifiable — NULL coefficients on both engines."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, i, 5.0, 0.1, 0.02, 100.0, "N", "O", t0) for i in range(6)]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "linreg_degen",
+        {"lineitem": (rows, _LI_SCHEMA)},
+    )
+    q = REGISTRY["ml_linreg_normal_eq"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="linreg_degen")
+    row = got.collect()[0]
+    assert row.b_qty is None and row.n_rows == 6
+
+
+def test_autocorrelation_constant_series_degenerate(
+    spark, tmp_path_factory
+):
+    """A constant daily series has zero centred energy: every ACF is
+    undefined — NULL at all 7 lags on both engines."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, "O", 100.0,
+         t0 + datetime.timedelta(days=i % 4), "1-URGENT")
+        for i in range(12)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "acf_degen",
+        {"orders": (rows, _ORD_SCHEMA)},
+    )
+    q = REGISTRY["timeseries_autocorrelation"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="acf_degen")
+    assert all(r.acf is None for r in got.collect())
+
+
+def test_benford_empty_input_degenerate(spark, tmp_path_factory):
+    """An empty feed is 'no evidence', not a crash: 9 digit rows with
+    n = 0 and NULL shares on both engines."""
+    from s3spark.registry import REGISTRY
+
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "benford_degen",
+        {"orders": ([], _ORD_SCHEMA)},
+    )
+    q = REGISTRY["dq_benford_first_digit"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="benford_degen")
+    rows = got.collect()
+    assert len(rows) == 9
+    assert all(r.n == 0 and r.observed_share is None for r in rows)
+
+
+def test_zipf_single_token_degenerate(spark, tmp_path_factory):
+    """A single-token vocabulary has zero rank variance: slope,
+    intercept, r2 AND the zipf_like verdict are all NULL (an undefined
+    fit must never set the flag)."""
+    from s3spark.registry import REGISTRY
+
+    rows = [(i, "spark", "en", f"src{i % 3}", 5) for i in range(10)]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "zipf_degen",
+        {"documents": (
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )},
+    )
+    q = REGISTRY["text_zipf_fit"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="zipf_degen")
+    row = got.collect()[0]
+    assert row.zipf_slope is None and row.zipf_like is None
+
+
+def test_cosine_zero_norm_vectors_degenerate(spark, tmp_path_factory):
+    """All-zero embeddings have no direction: both cosine keys exclude
+    them on both engines instead of dying on the 0/0 cosine."""
+    from s3spark.registry import REGISTRY
+
+    rows = [
+        (i, [0.0] * 8 if i % 7 == 0 else [float(i % 3 + 1)] * 8, i % 4)
+        for i in range(20)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "cos_degen",
+        {"embeddings": (
+            rows, "vec_id long, embedding array<float>, label int",
+        )},
+    )
+    for key in ("sim_cosine_topk", "dedup_embedding_cosine"):
+        q = REGISTRY[key]
+        got = q.fn(spark, sf)
+        assert_same(got, con, q.oracle, name=f"{key}_degen")
+        ids = set()
+        for r in got.collect():
+            ids.update(
+                getattr(r, c)
+                for c in ("query_id", "neighbor_id", "vec_a", "vec_b")
+                if hasattr(r, c)
+            )
+        assert not any(i % 7 == 0 for i in ids)
+
+
+def test_time_decay_horizon_guard_fires(spark, tmp_path_factory):
+    """Beyond the λ-safe 3600 h per-user span the decimal lift WOULD
+    overflow: the in-expression guard must raise the ACTIONABLE
+    contract error, not ANSI's cryptic NUMERIC_VALUE_OUT_OF_RANGE."""
+    import datetime
+
+    import pytest
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(hours=i * 2000), 1, "purchase",
+         7.0, "{}")
+        for i in range(4)
+    ]
+    sf, _ = _fixture_dir(
+        spark, tmp_path_factory, "decay_degen",
+        {"events": (
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )},
+    )
+    with pytest.raises(Exception, match="lambda-safe 3600 h horizon"):
+        REGISTRY["window_time_decay"].fn(spark, sf).collect()
