@@ -129,4 +129,9 @@ DIRTY_SINCE: dict = {
     "sim_cosine_topk": 9,
     "dedup_embedding_cosine": 9,
     "window_time_decay": 9,
+    # Full-registry degenerate sweep, second pass: empty-cohort PSI
+    # (na/nb = 0 → NULL terms + NULL verdict) and single-cohort /
+    # degenerate-permutation mean diffs in the permutation test.
+    "dq_drift_psi": 9,
+    "stats_permutation_test": 9,
 }

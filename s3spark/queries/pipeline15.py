@@ -351,18 +351,20 @@ t AS (
   FROM cnt
 ),
 term AS (
-  SELECT bin, ca, cb,
-         CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
-               - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
-              * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
-                   / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
-              AS DECIMAL(25,6)) AS psi_term
+  SELECT bin, ca, cb, na, nb,
+         CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS DECIMAL(25,6))
+              ELSE CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                        / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                   AS DECIMAL(25,6)) END AS psi_term
   FROM t
 )
 SELECT bin, ca AS n_a, cb AS n_b,
        CAST(psi_term AS DOUBLE) AS psi_term,
        CAST(SUM(psi_term) OVER () AS DOUBLE) AS psi_total,
-       CAST(CASE WHEN CAST(SUM(psi_term) OVER () AS DOUBLE) > 0.1
+       CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+                 WHEN CAST(SUM(psi_term) OVER () AS DOUBLE) > 0.1
                  THEN 1 ELSE 0 END AS BIGINT) AS drift_warning
 FROM term ORDER BY bin
 """
@@ -414,25 +416,43 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w_all).alias("na"),
         F.sum("cb").over(w_all).alias("nb"),
     )
+    # Empty-cohort guard (round-9 extension sweep, the ztest empty-arm
+    # case): a feed where one cohort has zero rows makes na or nb = 0
+    # — ANSI Spark threw DIVIDE_BY_ZERO where DuckDB returned NULL;
+    # the shared CASE yields NULL terms and a NULL warning (no
+    # evidence, no verdict).  The zero-count BIN inside a non-empty
+    # cohort stays declared out of scope (production PSI adds Laplace
+    # smoothing; pinned non-empty on the fixture).
     pa = F.col("ca").cast("double") / F.col("na").cast("double")
     pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    empty = (F.col("na") == 0) | (F.col("nb") == 0)
     term = t.select(
         "bin",
+        "na",
+        "nb",
         F.col("ca").alias("n_a"),
         F.col("cb").alias("n_b"),
-        ((pa - pb) * F.log(pa / pb)).cast("decimal(25,6)").alias("psi_term"),
+        F.when(empty, F.lit(None).cast("decimal(25,6)"))
+        .otherwise(((pa - pb) * F.log(pa / pb)).cast("decimal(25,6)"))
+        .alias("psi_term"),
     )
     return (
         term.select(
             "bin",
             "n_a",
             "n_b",
+            "na",
+            "nb",
             F.col("psi_term").cast("double").alias("psi_term"),
             F.sum("psi_term").over(w_all).cast("double").alias("psi_total"),
         )
         .withColumn(
             "drift_warning",
-            F.when(F.col("psi_total") > 0.1, 1).otherwise(0).cast("bigint"),
+            F.when(empty, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.when(F.col("psi_total") > 0.1, 1).otherwise(0).cast("bigint")
+            ),
         )
+        .drop("na", "nb")
         .orderBy("bin")
     )

@@ -34,9 +34,30 @@ _PERM_B = 64
 
 # Mean difference over exact integer (sum, count) pairs — ONE shared
 # expression text (the Welch/z-test recipe).
+# Degenerate-cohort guard (round-9 extension sweep): an empty cohort
+# (all rows one priority — the ztest empty-arm case) or a permutation
+# that happens to assign every row one label (reachable at small n)
+# makes a mean undefined; ANSI Spark threw DIVIDE_BY_ZERO where DuckDB
+# returned NULL.  The shared CASE yields a NULL diff — a degenerate
+# permutation then counts as NOT extreme on both engines (NULL
+# comparison → ELSE 0), and a NULL OBSERVED diff nulls the p-value and
+# verdict below (an undefined test never rejects).
 _PERM_DIFF = (
-    "(CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE)"
-    " - CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE))"
+    "(CASE WHEN ca = 0 OR cr = 0 THEN CAST(NULL AS DOUBLE)"
+    " ELSE CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE)"
+    " - CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE) END)"
+)
+
+_PERM_P = (
+    "CAST(CASE WHEN obs_diff IS NULL THEN NULL"
+    " ELSE CAST(1 + n_extreme AS DOUBLE) / CAST({B} + 1 AS DOUBLE) END"
+    " AS DOUBLE)"
+)
+
+_PERM_REJECT = (
+    "CAST(CASE WHEN obs_diff IS NULL THEN NULL"
+    " WHEN CAST(1 + n_extreme AS DOUBLE) / CAST({B} + 1 AS DOUBLE)"
+    " <= 0.05 THEN 1 ELSE 0 END AS BIGINT)"
 )
 
 _PERM_ORACLE = f"""
@@ -92,11 +113,8 @@ SELECT st.n1, st.n - st.n1 AS n2,
        CAST(o2.obs_diff AS DOUBLE) AS obs_diff,
        CAST({_PERM_B} AS BIGINT) AS b_count,
        ext.n_extreme,
-       CAST(CAST(1 + ext.n_extreme AS DOUBLE)
-            / CAST({_PERM_B} + 1 AS DOUBLE) AS DOUBLE) AS p_value,
-       CAST(CASE WHEN CAST(1 + ext.n_extreme AS DOUBLE)
-                      / CAST({_PERM_B} + 1 AS DOUBLE) <= 0.05
-                 THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+       {_PERM_P.format(B=_PERM_B)} AS p_value,
+       {_PERM_REJECT.format(B=_PERM_B)} AS reject_05
 FROM st, o2, ext
 """
 
@@ -230,11 +248,8 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(obs_diff AS DOUBLE) AS obs_diff",
             f"CAST({_PERM_B} AS BIGINT) AS b_count",
             "n_extreme",
-            f"CAST(CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B} + 1 AS DOUBLE)"
-            " AS DOUBLE) AS p_value",
-            f"CAST(CASE WHEN CAST(1 + n_extreme AS DOUBLE) / "
-            f"CAST({_PERM_B} + 1 AS DOUBLE) <= 0.05 THEN 1 ELSE 0 END"
-            " AS BIGINT) AS reject_05",
+            f"{_PERM_P.format(B=_PERM_B)} AS p_value",
+            f"{_PERM_REJECT.format(B=_PERM_B)} AS reject_05",
         )
     )
 

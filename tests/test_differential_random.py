@@ -2361,3 +2361,58 @@ def test_time_decay_horizon_guard_fires(spark, tmp_path_factory):
     )
     with pytest.raises(Exception, match="lambda-safe 3600 h horizon"):
         REGISTRY["window_time_decay"].fn(spark, sf).collect()
+
+
+def test_psi_empty_cohort_degenerate(spark, tmp_path_factory):
+    """A feed where EVERY row is one cohort (nb = 0): PSI is undefined
+    — NULL terms and a NULL drift verdict on both engines (the ztest
+    empty-arm case; the zero-count BIN inside a non-empty cohort stays
+    a declared Laplace-smoothing boundary)."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, "O", 100.0 + i,
+         t0 + datetime.timedelta(days=i % 4), "1-URGENT")
+        for i in range(12)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "psi_degen",
+        {"orders": (rows, _ORD_SCHEMA)},
+    )
+    q = REGISTRY["dq_drift_psi"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="psi_degen")
+    rows_out = got.collect()
+    assert rows_out and all(
+        r.psi_term is None and r.drift_warning is None for r in rows_out
+    )
+
+
+def test_permutation_single_cohort_degenerate(spark, tmp_path_factory):
+    """Single-cohort input: the observed mean diff is undefined — NULL
+    obs_diff, NULL p-value, NULL verdict on both engines (an undefined
+    test never rejects); degenerate PERMUTATIONS (all rows one label,
+    reachable at small n) count as not-extreme identically."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, "O", 100.0 + i,
+         t0 + datetime.timedelta(days=i % 4), "1-URGENT")
+        for i in range(12)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "perm_degen",
+        {"orders": (rows, _ORD_SCHEMA)},
+    )
+    q = REGISTRY["stats_permutation_test"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="perm_degen")
+    row = got.collect()[0]
+    assert row.obs_diff is None and row.p_value is None
+    assert row.reject_05 is None
