@@ -86,6 +86,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline18,
     pipeline19,
     pipeline20,
+    pipeline21,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

@@ -116,7 +116,10 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # top-1 window (one entity shuffle) and the lineitem
              # checksum (three map-side-combined reductions + one
              # scratch write/read)
-             "join_bitemporal", "dq_table_checksum"]
+             "join_bitemporal", "dq_table_checksum",
+             # round-9 extension batch three: orders-driven trend test
+             # (calendar-bounded pair work, constant in fact scale)
+             "timeseries_mann_kendall"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth

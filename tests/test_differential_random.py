@@ -2416,3 +2416,90 @@ def test_permutation_single_cohort_degenerate(spark, tmp_path_factory):
     row = got.collect()[0]
     assert row.obs_diff is None and row.p_value is None
     assert row.reject_05 is None
+
+
+# ---------------------------------------------------------------------------
+# timeseries_mann_kendall: planted trends, heavy ties, constant series
+# ---------------------------------------------------------------------------
+
+_MK_ROWS = st.lists(
+    st.integers(min_value=0, max_value=3),  # per-day revenue bucket
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(levels=_MK_ROWS)
+@settings(**_SETTINGS)
+def test_mann_kendall_ties_and_trends_random(
+    spark, tmp_path_factory, levels
+):
+    """Random daily series with heavy ties (4 levels) plus a python
+    pair-scan replay; the all-tied case must yield NULL z and NULL
+    verdict on both engines, and a planted strictly-increasing series
+    must flag trend_sig = 1."""
+    import datetime
+    import math
+    from collections import Counter
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 0, "O", float(100 * (lvl + 1)),
+         t0 + datetime.timedelta(days=i), "1-URGENT")
+        for i, lvl in enumerate(levels)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "mk_rand",
+        {"orders": (rows, _ORD_SCHEMA)},
+    )
+    q = REGISTRY["timeseries_mann_kendall"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="mk_random")
+    row = got.collect()[0]
+    ys = [100 * (lvl + 1) * 100 for lvl in levels]  # day-cents
+    n = len(ys)
+    S = sum(
+        (yj > yi) - (yj < yi)
+        for i, yi in enumerate(ys)
+        for yj in ys[i + 1:]
+    )
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+    )
+    vn = n * (n - 1) * (2 * n + 5) - tie
+    assert row.s_stat == S and row.var_num == vn
+    if vn == 0:
+        assert row.z is None and row.trend_sig is None
+    else:
+        zc = (
+            0.0
+            if S == 0
+            else (S - (1 if S > 0 else -1)) / math.sqrt(vn / 18.0)
+        )
+        assert abs(row.z - zc) < 1e-12
+
+
+def test_mann_kendall_planted_trend(spark, tmp_path_factory):
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 0, "O", 100.0 + 10 * i, t0 + datetime.timedelta(days=i),
+         "1-URGENT")
+        for i in range(15)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "mk_trend",
+        {"orders": (rows, _ORD_SCHEMA)},
+    )
+    got = REGISTRY["timeseries_mann_kendall"].fn(spark, sf)
+    assert_same(
+        got, con, REGISTRY["timeseries_mann_kendall"].oracle,
+        name="mk_trend",
+    )
+    row = got.collect()[0]
+    assert row.trend_sig == 1 and row.s_stat == 15 * 14 // 2

@@ -402,6 +402,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "ml_naive_bayes_text",
         # 1-row total-bigram-count broadcast (contingency marginals)
         "text_collocations_llr",
+        # calendar-bounded pair join (theil-sen recipe) + 1-row tie sum
+        "timeseries_mann_kendall",
     }
     offenders = []
     for name in sorted(REGISTRY):
