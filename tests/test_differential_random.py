@@ -2503,3 +2503,103 @@ def test_mann_kendall_planted_trend(spark, tmp_path_factory):
     )
     row = got.collect()[0]
     assert row.trend_sig == 1 and row.s_stat == 15 * 14 // 2
+
+
+# ---------------------------------------------------------------------------
+# rank_metrics_ndcg: tied scores across the rank-10 cut
+# ---------------------------------------------------------------------------
+
+_NDCG_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # nation
+        st.integers(min_value=0, max_value=2),   # balance level (ties!)
+        st.booleans(),                            # relevant?
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_NDCG_ROWS)
+@settings(**_SETTINGS)
+def test_ndcg_tied_scores_random(spark, tmp_path_factory, rows):
+    """Heavy balance ties straddling the top-10 cut: the (acctbal
+    DESC, custkey ASC) tie-break must pick identical top-10 sets on
+    both engines, and zero-relevant nations must stay NULL."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(1998, 3, 1)
+    cust = [
+        (i, f"C{i}", nation, float(100 * lvl), "SEG")
+        for i, (nation, lvl, _rel) in enumerate(rows)
+    ]
+    orders = [
+        (i, i, "O", 50.0, t0, "1-URGENT")
+        for i, (_n, _l, rel) in enumerate(rows)
+        if rel
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "ndcg_rand",
+        {
+            "customer": (
+                cust,
+                "c_custkey long, c_name string, c_nationkey int,"
+                " c_acctbal double, c_mktsegment string",
+            ),
+            "orders": (orders, _ORD_SCHEMA),
+        },
+    )
+    q = REGISTRY["rank_metrics_ndcg"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="ndcg_random")
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts: events exactly ON week boundaries
+# ---------------------------------------------------------------------------
+
+_RET_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user
+        st.integers(min_value=0, max_value=3),   # weeks after signup
+        st.booleans(),                            # exact boundary?
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=_RET_ROWS)
+@settings(**_SETTINGS)
+def test_retention_week_boundary_random(spark, tmp_path_factory, rows):
+    """Events at EXACT 604800 s multiples from the signup instant must
+    cohort into the same week on both engines (floor of an exact
+    double quotient), and the signup event itself lands in week 0."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [(1000 + u, t0, u, "signup", 1.0, "{}") for u in range(3)]
+    for i, (u, wk, exact) in enumerate(rows):
+        off = datetime.timedelta(
+            seconds=wk * 604800 + (0 if exact else 3600)
+        )
+        data.append((i, t0 + off, u, "click", 1.0, "{}"))
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "ret_rand",
+        {"events": (
+            data,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )},
+    )
+    q = REGISTRY["retention_cohorts"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="retention_random")
+    # week-0 always contains all 3 users (their signup events)
+    cells = {(r.cohort_day, r.week_offset): r.n_active
+             for r in got.collect()}
+    assert sum(n for (_, w), n in cells.items() if w == 0) == 3
