@@ -390,7 +390,11 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     window after that runs on the 10-row table.  All bins are
     non-empty for both cohorts on this data (pinned in tests), so
     the ln() never sees zero — a production PSI adds Laplace
-    smoothing, declared out of scope for the exactness proof."""
+    smoothing, declared out of scope for the exactness proof.
+    An entirely EMPTY cohort (na or nb = 0 — a feed with one
+    population) is guarded: NULL terms and a NULL drift verdict on
+    both engines (round-9 extension sweep; ANSI Spark previously
+    threw DIVIDE_BY_ZERO where DuckDB returned NULL)."""
     orders = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
     v = orders.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
