@@ -134,4 +134,15 @@ DIRTY_SINCE: dict = {
     # degenerate-permutation mean diffs in the permutation test.
     "dq_drift_psi": 9,
     "stats_permutation_test": 9,
+    # Empty-input crash sweep: write-then-re-read keys gain explicit
+    # read schemas (an empty source writes no partitions to infer
+    # from), all-pruned/zero-file scans become explicit empty
+    # relations, and the zero-batch stream merge target is guarded.
+    # Fixture values unchanged (sims green x4 configs).
+    "scan_manifest_prune": 9,
+    "scan_incremental_manifest_diff": 9,
+    "sink_dynamic_partition_overwrite": 9,
+    "sink_partitioned_pruning": 9,
+    "join_partition_pruning_dynamic": 9,
+    "stream_foreach_batch_upsert": 9,
 }

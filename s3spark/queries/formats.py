@@ -113,7 +113,10 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .partitionBy("o_orderstatus")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY source writes no partition directories
+    # and schema inference on the bare path would fail (round-9
+    # empty-input sweep); inference is also a needless extra listing
+    back = spark.read.schema(src.schema).parquet(out)
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -148,7 +151,13 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("fmt-part")
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    # explicit schema: empty-source writes leave nothing to infer from
+    # (round-9 empty-input sweep) and skip the inference listing
+    back = (
+        spark.read.schema(src.schema)
+        .parquet(out)
+        .filter(F.col("o_orderstatus") == "O")
+    )
     return (
         back.groupBy("o_orderpriority")
         .agg(

@@ -772,21 +772,20 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate", "l_extendedprice", "l_discount"
     )
     out = scratch_dir("manifest") + "/lineitem_bucketed"
-    (
-        li.withColumn(
-            "fb",
-            (
-                (F.year("l_shipdate") - 1995) * 6
-                + F.expr("(month(l_shipdate) - 1) div 2")
-            ).cast("int"),
-        )
-        .repartition("fb")
-        .write.partitionBy("fb")
-        .mode("overwrite")
-        .parquet(out)
+    bucketed = li.withColumn(
+        "fb",
+        (
+            (F.year("l_shipdate") - 1995) * 6
+            + F.expr("(month(l_shipdate) - 1) div 2")
+        ).cast("int"),
     )
+    bucketed.repartition("fb").write.partitionBy("fb").mode(
+        "overwrite"
+    ).parquet(out)
     spark.catalog.refreshByPath(out)
-    laid = spark.read.parquet(out)
+    # explicit schema: an empty source writes no partitions to infer
+    # from (round-9 empty-input sweep)
+    laid = spark.read.schema(bucketed.schema).parquet(out)
     manifest = (
         laid.groupBy(F.col("_metadata.file_path").alias("file"))
         .agg(F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx"))
@@ -798,7 +797,14 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = datetime.datetime.fromisoformat(d1)
     hi = datetime.datetime.fromisoformat(d2)
     chosen = [r["file"] for r in manifest if r["mx"] >= lo and r["mn"] <= hi]
-    pruned = spark.read.parquet(*chosen)
+    # an all-pruned (or empty-source) manifest selects ZERO files —
+    # spark.read.parquet() rejects an empty path list, so the scan of
+    # nothing is an explicit empty relation with the laid-out schema
+    pruned = (
+        spark.read.schema(bucketed.schema).parquet(*chosen)
+        if chosen
+        else spark.createDataFrame([], bucketed.schema)
+    )
     return (
         pruned.filter(
             (F.col("l_shipdate") >= F.lit(d1).cast("timestamp"))
@@ -972,9 +978,13 @@ def scan_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFram
         out
     )
     spark.catalog.refreshByPath(out)
+    # explicit schema on both listings: an empty commit writes no
+    # partitions to infer from (round-9 empty-input sweep)
+    sch = hist.schema
     before = {
         r["f"]
-        for r in spark.read.parquet(out)
+        for r in spark.read.schema(sch)
+        .parquet(out)
         .select(F.col("_metadata.file_path").alias("f"))
         .distinct()
         .collect()
@@ -983,13 +993,20 @@ def scan_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFram
     spark.catalog.refreshByPath(out)
     after = {
         r["f"]
-        for r in spark.read.parquet(out)
+        for r in spark.read.schema(sch)
+        .parquet(out)
         .select(F.col("_metadata.file_path").alias("f"))
         .distinct()
         .collect()
     }
     new_files = sorted(after - before)
-    inc = spark.read.parquet(*new_files)
+    # an empty delta commit appends zero files — the incremental scan
+    # of nothing is an explicit empty relation, not a reader error
+    inc = (
+        spark.read.schema(sch).parquet(*new_files)
+        if new_files
+        else spark.createDataFrame([], sch)
+    )
     return inc.agg(
         F.lit(len(new_files)).cast("long").alias("n_new_files"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -1037,9 +1054,18 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3spark.streaming import events_stream, stream_merge_into
 
     target = scratch_dir("fbupsert", fresh=True) + "/target"
-    stream_merge_into(events_stream(spark, sf_dir), target)
+    src = events_stream(spark, sf_dir)
+    stream_merge_into(src, target)
     spark.catalog.refreshByPath(target)
-    merged = spark.read.parquet(target)
+    # an EMPTY source stream runs zero batches, so the merge target is
+    # never created (round-9 empty-input sweep) — the merged view of
+    # nothing is an explicit empty relation, not a PATH_NOT_FOUND
+    import os
+
+    if os.path.exists(target):
+        merged = spark.read.parquet(target)
+    else:
+        merged = spark.createDataFrame([], src.schema)
     return (
         merged.groupBy("event_type")
         .agg(

@@ -72,12 +72,14 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
         "day", F.col("ts").cast("date")
     )
     e.write.mode("overwrite").partitionBy("day").parquet(f"{out}/events_by_day")
-    fact = spark.read.parquet(f"{out}/events_by_day")
+    # explicit schema: an empty source writes no day-directories to
+    # infer from (round-9 empty-input sweep)
+    fact = spark.read.schema(e.schema).parquet(f"{out}/events_by_day")
     # date dim stored like a real calendar table; the `keep = 1` filter
     # is the selective predicate the DPP rule requires on the build
     # side (a bare boolean column does NOT count as likely-selective —
     # an equality comparison does)
-    (
+    dim_src = (
         e.select(F.col("day").alias("dim_day"))
         .distinct()
         .withColumn(
@@ -86,10 +88,13 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("dim_day").isin("2024-01-03", "2024-01-10"), 1
             ).otherwise(0),
         )
-        .write.mode("overwrite")
-        .parquet(f"{out}/date_dim")
     )
-    dim = spark.read.parquet(f"{out}/date_dim").filter(F.col("keep") == 1)
+    dim_src.write.mode("overwrite").parquet(f"{out}/date_dim")
+    dim = (
+        spark.read.schema(dim_src.schema)
+        .parquet(f"{out}/date_dim")
+        .filter(F.col("keep") == 1)
+    )
     return (
         fact.join(dim, fact.day == dim.dim_day)
         .filter(F.col("event_type").isin("click", "purchase"))

@@ -2603,3 +2603,52 @@ def test_retention_week_boundary_random(spark, tmp_path_factory, rows):
     cells = {(r.cohort_day, r.week_offset): r.n_active
              for r in got.collect()}
     assert sum(n for (_, w), n in cells.items() if w == 0) == 3
+
+
+def test_registry_empty_input_graceful(spark, tmp_path_factory):
+    """Empty-input crash sweep (round-9 extension): keys that write
+    then re-read derived layouts must survive FULLY EMPTY inputs —
+    schema inference over a zero-partition write, an all-pruned
+    manifest, an empty incremental commit, and a zero-batch stream
+    merge all used to crash the driver.  Model-fitting keys
+    (embedding_pca_power_iteration, sim_ann_lsh) are excluded: fitting
+    on an empty corpus is undefined by precondition."""
+    import s3spark.queries  # noqa: F401
+    from s3spark.registry import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("empty_all")
+    schemas = {
+        "orders": _ORD_SCHEMA,
+        "lineitem": (
+            "l_orderkey long, l_linenumber long, l_quantity double,"
+            " l_discount double, l_tax double, l_extendedprice double,"
+            " l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp"
+        ),
+        "events": (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ),
+    }
+    for t, sch in schemas.items():
+        spark.createDataFrame([], sch).write.mode("overwrite").parquet(
+            os.path.join(str(tmp), f"{t}.parquet")
+        )
+    # group-by keys emit ZERO rows on empty input; global-aggregate
+    # keys emit one row whose counts are 0
+    expect_empty = (
+        "sink_dynamic_partition_overwrite",
+        "sink_partitioned_pruning",
+        "join_partition_pruning_dynamic",
+        "stream_foreach_batch_upsert",
+    )
+    for key in expect_empty:
+        assert REGISTRY[key].fn(spark, str(tmp)).collect() == [], key
+    row = REGISTRY["scan_manifest_prune"].fn(spark, str(tmp)).collect()[0]
+    assert row.n_rows == 0
+    row = (
+        REGISTRY["scan_incremental_manifest_diff"]
+        .fn(spark, str(tmp))
+        .collect()[0]
+    )
+    assert row.n_new_files == 0 and row.n_rows == 0
