@@ -346,11 +346,13 @@ doc_tok AS (
   FROM tok GROUP BY 1, 2, 3
 ),
 scored AS (
-  SELECT d.doc_id, d.true_lang, m.c,
-         CAST(SUM(d.tf * CAST(LN(CAST(m.cnt + 1 AS DOUBLE))
+  SELECT d.doc_id, d.true_lang, cl.c,
+         CAST(SUM(d.tf * CAST(LN(CAST(COALESCE(m.cnt, 0) + 1 AS DOUBLE))
                           AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS s_tok,
          CAST(SUM(d.tf) AS BIGINT) AS ntok
-  FROM doc_tok d JOIN model m ON d.token = m.token
+  FROM doc_tok d
+  CROSS JOIN (SELECT c FROM ctot) cl
+  LEFT JOIN model m ON d.token = m.token AND m.c = cl.c
   GROUP BY 1, 2, 3
 ),
 full_score AS (
@@ -397,14 +399,22 @@ def ml_naive_bayes_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     through decimal(25,6) before any sum/multiply (the entropy /
     bigram-logprob recipe), so per-doc scores are exact decimals and
     the argmax (ties → lexicographic class) is engine-deterministic.
-    Unseen (class, token) pairs contribute ln(0+1) = 0, so the score
-    join only needs OBSERVED model rows — no dense class×vocab
-    materialization.
+    The MODEL stays sparse (observed (class, token) rows only — no
+    dense class×vocab materialization); scoring cross-joins each doc
+    token with the bounded class list and LEFT-joins the model, so
+    unseen pairs contribute ln(0+1) = 0 via COALESCE and a class
+    sharing ZERO tokens with a doc still competes in the argmax with
+    its true score ln P(c) − n_tok·ln(tot_c + V) (round-9 advice: an
+    inner join silently excluded disjoint classes — unreachable on
+    this shared-vocabulary fixture, wrong in general).
 
     Engine shape: the model is vocabulary-bounded (this fixture: ~31
     tokens × 5 classes) → broadcast; scoring is one fact-side explode
-    + broadcast join + per-(doc, class) partial aggregation; the
-    per-doc argmax window partitions by doc_id (fact-parallel).  At
+    × |classes| fan-out + broadcast left join + per-(doc, class)
+    partial aggregation; the per-doc argmax window partitions by
+    doc_id (fact-parallel).  |classes| is a small constant (5 here,
+    ≤ a few hundred for any real label set), so the fan-out scales
+    linearly with the corpus.  At
     100 TB with a real vocabulary the model is still ≪ corpus (V ~
     10⁶ rows) and stays broadcast-able; accuracy here (47% vs 43.6%
     majority baseline) is weak BY FIXTURE CONSTRUCTION — all langs

@@ -122,8 +122,8 @@ def join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ck_query(t: str, spark_side: bool, copies: tuple) -> str:
-    """Checksum SELECTs for the named logical copies over table ``t``.
+def _ck_exprs(spark_side: bool):
+    """Shared canonical-text + digest expression builders.
 
     Canonical row text: '|'-joined key columns with the quantity
     lifted through DECIMAL(18,2) (fixed-scale stringification — raw
@@ -154,6 +154,13 @@ def _ck_query(t: str, spark_side: bool, copies: tuple) -> str:
             return f"CAST(conv(substr({hx},1,12),16,10) AS BIGINT)"
         return f"CAST('0x' || substr({hx},1,12) AS BIGINT)"
 
+    return st, canon, tampered, h2i
+
+
+def _ck_query(t: str, spark_side: bool, copies: tuple) -> str:
+    """Checksum SELECTs for the named logical copies over table ``t``
+    — one full scan per copy (the oracle shape; DuckDB has no stack)."""
+    st, canon, tampered, h2i = _ck_exprs(spark_side)
     selects = []
     for name, expr in copies:
         body = canon if expr == "canon" else tampered
@@ -165,6 +172,35 @@ SELECT '{name}' AS copy_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM {t}"""
         )
     return " UNION ALL ".join(selects)
+
+
+def _ck_fused_spark(t: str) -> str:
+    """Spark-side source+tampered fingerprints in ONE scan of ``t``:
+    both digests are conditional aggregates of the same pass, fanned
+    back out to (copy_name, n_rows, checksum) rows by ``stack`` over
+    the 1-row aggregate — the generator runs AFTER the reduction, so
+    referencing the CTE twice (which Spark would inline into two full
+    scans) is never needed (round-9 verdict item 3)."""
+    st, canon, tampered, h2i = _ck_exprs(True)
+
+    def dig(body: str) -> str:
+        return f"CAST({h2i(f'md5({body})')} AS DECIMAL(38,0))"
+
+    return f"""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(CAST(SUM({dig(canon)}) AS DECIMAL(38,0)) AS {st})
+           AS ck_source,
+         CAST(CAST(SUM({dig(tampered)}) AS DECIMAL(38,0)) AS {st})
+           AS ck_tampered
+  FROM {t}
+)
+SELECT copy_name, n_rows, checksum FROM (
+  SELECT n_rows,
+         stack(2, 'source', ck_source, 'tampered', ck_tampered)
+           AS (copy_name, checksum)
+  FROM a
+)"""
 
 
 _CK_ORACLE = _ck_query(
@@ -189,13 +225,16 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip preserved every fingerprinted field — and (c) must and
     does diverge (single-row sensitivity).
 
-    Engine shape: each checksum is ONE map-side-combined reduction
-    (row-local md5 + a decimal sum) — no shuffle wider than the
-    partial aggregates, no sort anywhere; this is how two 100 TB
-    copies on different clusters compare state with one scan each.
-    The 48-bit/row digest keeps the decimal(38,0) sum overflow-free
-    to ~10²³ rows while staying far beyond birthday-collision range
-    for any real table delta."""
+    Engine shape: source+tampered fingerprints are conditional
+    aggregates of ONE map-side-combined reduction over ONE source
+    scan (row-local md5 + decimal sums, ``stack``-fanned after the
+    1-row aggregate); the roundtrip copy keeps its own scan by design
+    — it must prove the PHYSICAL re-read, not share the source's
+    buffers.  No shuffle wider than the partial aggregates, no sort
+    anywhere; this is how two 100 TB copies on different clusters
+    compare state with one scan each.  The 48-bit/row digest keeps
+    the decimal(38,0) sum overflow-free to ~10²³ rows while staying
+    far beyond birthday-collision range for any real table delta."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -207,11 +246,7 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.write.mode("overwrite").parquet(out)
     spark.read.parquet(out).createOrReplaceTempView("p20_ck_roundtrip")
     li.createOrReplaceTempView("p20_ck_source")
-    src = _ck_query(
-        "p20_ck_source",
-        spark_side=True,
-        copies=(("source", "canon"), ("tampered", "tamper")),
-    )
+    src = _ck_fused_spark("p20_ck_source")
     rt = _ck_query(
         "p20_ck_roundtrip",
         spark_side=True,

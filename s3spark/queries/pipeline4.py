@@ -799,11 +799,15 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen = [r["file"] for r in manifest if r["mx"] >= lo and r["mn"] <= hi]
     # an all-pruned (or empty-source) manifest selects ZERO files —
     # spark.read.parquet() rejects an empty path list, so the scan of
-    # nothing is an explicit empty relation with the laid-out schema
+    # nothing is an explicit empty relation.  The pruned read targets
+    # LEAF files, which get no partition discovery: including the fb
+    # partition column in the schema would silently materialize it as
+    # all-NULL (round-9 advice), so the leaf scan carries the DATA
+    # columns only (li.schema — exactly what the files contain).
     pruned = (
-        spark.read.schema(bucketed.schema).parquet(*chosen)
+        spark.read.schema(li.schema).parquet(*chosen)
         if chosen
-        else spark.createDataFrame([], bucketed.schema)
+        else spark.createDataFrame([], li.schema)
     )
     return (
         pruned.filter(

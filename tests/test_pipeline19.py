@@ -177,6 +177,37 @@ def test_naive_bayes_confusion_matrix_conserves_docs(spark):
     assert correct > majority, (correct, majority)
 
 
+def test_naive_bayes_disjoint_class_still_competes(spark, tmp_path):
+    """Round-9 advice: a class sharing ZERO tokens with a doc must be
+    scored ln P(c) − n_tok·ln(tot_c + V), not dropped from the argmax.
+    Corpus: 9 'aa' docs (vocabulary {x}) vs 1 'bb' doc (vocabulary
+    {y}).  For the y-doc: score(bb) = ln 1 − ln(1+2) + ln(1/10),
+    score(aa) = 0 − ln(9+2) + ln(9/10); score(aa) > score(bb), so
+    TRUE multinomial NB predicts the disjoint-but-prior-heavy class
+    'aa' — the old inner join would have predicted 'bb' (the only
+    class that survived it)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "text": ["x"] * 9 + ["y"],
+            "lang": ["aa"] * 9 + ["bb"],
+            "source": ["t"] * 10,
+            "n_chars": [1] * 10,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        sf + "/documents.parquet"
+    )
+    rows = {
+        (r.true_lang, r.pred_lang): r.n
+        for r in REGISTRY["ml_naive_bayes_text"].fn(spark, sf).collect()
+    }
+    assert rows == {("aa", "aa"): 9, ("bb", "aa"): 1}, rows
+
+
 # ---------------------------------------------------------------------------
 # scan_fixed_width
 # ---------------------------------------------------------------------------
