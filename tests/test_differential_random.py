@@ -2652,3 +2652,306 @@ def test_registry_empty_input_graceful(spark, tmp_path_factory):
         .collect()[0]
     )
     assert row.n_new_files == 0 and row.n_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# Multimodal kernel differentials (round-9 verdict item 6): random
+# payloads through the REAL codec/feature/banding kernels vs
+# independent pure-python replays, the way minhash banding was proven
+# byte-identical on random corpora in round 9.
+# ---------------------------------------------------------------------------
+
+
+def _png_forward_filter(raw_rows, filters):
+    """Spec-exact FORWARD scanline filtering (the encoder direction the
+    production codec never emits — it always writes filter 0), so the
+    decoder's Sub/Up/Average/Paeth reconstruction paths get exercised
+    on random data.  Independent of _decode_png by construction: this
+    is the spec's filter definitions, not an inversion of that code."""
+    out = b""
+    prev = bytes(len(raw_rows[0]))
+    for row, ft in zip(raw_rows, filters):
+        if ft == 0:
+            enc = bytes(row)
+        elif ft == 1:  # Sub
+            enc = bytes(
+                (row[x] - (row[x - 1] if x else 0)) & 0xFF
+                for x in range(len(row))
+            )
+        elif ft == 2:  # Up
+            enc = bytes(
+                (row[x] - prev[x]) & 0xFF for x in range(len(row))
+            )
+        elif ft == 3:  # Average
+            enc = bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) & 0xFF
+                for x in range(len(row))
+            )
+        else:  # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    return a
+                return b if pb <= pc else c
+
+            enc = bytes(
+                (
+                    row[x]
+                    - paeth(
+                        row[x - 1] if x else 0,
+                        prev[x],
+                        prev[x - 1] if x else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(len(row))
+            )
+        out += bytes([ft]) + enc
+        prev = bytes(row)
+    return out
+
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+)
+@settings(**{**_SETTINGS, "max_examples": 25})
+def test_png_decode_recovers_random_pixels_under_all_filters(data, w, h):
+    """decode(encode_with_random_filters(px)) == px for random dims
+    and random pixel bytes: every scanline draws its own filter type,
+    so all five reconstruction paths (None/Sub/Up/Average/Paeth) are
+    hit on adversarial content — including 1-px-wide images where
+    Sub/Paeth degenerate to their x=0 branches."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from s3spark.queries.multimodal import _decode_png, _png_chunk
+
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w,
+                    max_size=w,
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    filters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=h, max_size=h
+        )
+    )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(_png_forward_filter(rows, filters)))
+        + _png_chunk(b"IEND", b"")
+    )
+    dw, dh, depth, ctype, px = _decode_png(png)
+    assert (dw, dh, depth, ctype) == (w, h, 8, 0)
+    assert bytes(px) == b"".join(rows)
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_image_phash_pipeline_matches_python_replay(data, spark):
+    """Random 16x16 images (random bases + sparse-noise variants +
+    exact duplicates) through the PRODUCTION Spark pipeline — real PNG
+    payloads, mapInPandas decode→dHash, band self-join, codegen
+    bit_count Hamming — must emit exactly the pairs an independent
+    python replay of the banding criterion emits (shares ≥1 intact
+    16-bit band AND total Hamming ≤ threshold), with identical
+    Hamming values.  Variants flip ≤6 random pixels, so tie bits
+    (equal neighbors → strictly-greater is False) and band survival
+    are both exercised away from the fixture's planted structure."""
+    from s3spark.queries.multimodal import (
+        _PH_HAM_MAX,
+        _PH_XS,
+        _PH_YS,
+        _band_self_join_hamming,
+        _decode_png,
+        _dhash_bands,
+        _png_chunk,
+    )
+    import struct as _struct
+    import zlib as _zlib
+
+    n_bases = data.draw(st.integers(min_value=2, max_value=4))
+    images = []
+    for _ in range(n_bases):
+        base = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=256,
+                    max_size=256,
+                )
+            )
+        )
+        images.append(base)
+        images.append(base)  # exact duplicate: guaranteed hamming-0 pair
+        for _ in range(data.draw(st.integers(min_value=1, max_value=2))):
+            px = bytearray(base)
+            for _ in range(data.draw(st.integers(min_value=0, max_value=6))):
+                pos = data.draw(st.integers(min_value=0, max_value=255))
+                px[pos] = (px[pos] + data.draw(
+                    st.integers(min_value=1, max_value=255))) % 256
+            images.append(bytes(px))
+
+    def to_png(px):
+        raw = b"".join(
+            b"\x00" + px[y * 16 : (y + 1) * 16] for y in range(16)
+        )
+        ihdr = _struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(to_png(px))) for i, px in enumerate(images)],
+        "doc_id long, payload binary",
+    )
+
+    def hash_batches(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, _h, _d, _c, px = _decode_png(bytes(payload))
+                b0, b1, b2, b3 = _dhash_bands(px, w)
+                rows.append(
+                    {"doc_id": doc_id, "b0": b0, "b1": b1,
+                     "b2": b2, "b3": b3}
+                )
+            yield _pd.DataFrame(rows)
+
+    sig = df.mapInPandas(
+        hash_batches, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _band_self_join_hamming(sig, 4, _PH_HAM_MAX).collect()
+    }
+
+    # independent replay: recompute the 64 dHash bits directly from the
+    # sample grid (different code shape from _dhash_bands), band them,
+    # and apply the banding candidate criterion + Hamming verify
+    def replay_bands(px):
+        bits = []
+        for j in range(8):
+            y = _PH_YS[j]
+            for i in range(8):
+                a = px[y * 16 + _PH_XS[i]]
+                b = px[y * 16 + _PH_XS[i + 1]]
+                bits.append(1 if b > a else 0)
+        return [
+            sum(bit << pos for pos, bit in enumerate(bits[16 * k : 16 * k + 16]))
+            for k in range(4)
+        ]
+
+    sigs = [replay_bands(px) for px in images]
+    want = {}
+    for a in range(len(images)):
+        for b in range(a + 1, len(images)):
+            if not any(sigs[a][k] == sigs[b][k] for k in range(4)):
+                continue
+            ham = sum(
+                bin(sigs[a][k] ^ sigs[b][k]).count("1") for k in range(4)
+            )
+            if ham <= _PH_HAM_MAX:
+                want[(a, b)] = ham
+    assert got == want
+
+
+@given(data=st.data())
+@settings(**{**_SETTINGS, "max_examples": 25})
+def test_wav_roundtrip_and_fingerprint_match_python_replay(data):
+    """Random WAV payloads: (a) decode(encode(samples)) recovers the
+    exact frames for random durations; (b) at the fingerprint's fixed
+    512-frame length, the production 63-bit energy-difference banding
+    equals an independent replay that computes window energies and
+    packs bands with different code — including all-equal-energy runs
+    (strictly-greater → 0 bits) which random bytes alone would almost
+    never produce."""
+    import io as _io
+    import wave as _wave
+
+    from s3spark.queries.multimodal import (
+        _AF_BANDS,
+        _AF_FRAMES,
+        _AF_NWIN,
+        _AF_WIN,
+        _af_bands,
+        _decode_wav,
+    )
+
+    # (a) round-trip at a random duration
+    n = data.draw(st.integers(min_value=1, max_value=700))
+    samples = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    )
+    buf = _io.BytesIO()
+    wf = _wave.open(buf, "wb")
+    wf.setnchannels(1)
+    wf.setsampwidth(1)
+    wf.setframerate(8000)
+    wf.writeframes(samples)
+    wf.close()
+    dn, sr, ch, frames = _decode_wav(buf.getvalue())
+    assert (dn, sr, ch) == (n, 8000, 1)
+    assert frames == samples
+
+    # (b) fingerprint banding differential at the production length;
+    # flat-region hazard: a random prefix is repeated so some adjacent
+    # windows have EQUAL energies (tie bits must be 0 on both sides)
+    block = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=_AF_WIN,
+                max_size=_AF_WIN,
+            )
+        )
+    )
+    reps = data.draw(st.integers(min_value=0, max_value=8))
+    tail = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=_AF_FRAMES - reps * _AF_WIN,
+                max_size=_AF_FRAMES - reps * _AF_WIN,
+            )
+        )
+    )
+    payload = block * reps + tail
+    got = _af_bands(payload)
+    energies = [
+        sum(payload[w * _AF_WIN + i] for i in range(_AF_WIN))
+        for w in range(_AF_NWIN)
+    ]
+    bits = [int(energies[w + 1] > energies[w]) for w in range(_AF_NWIN - 1)]
+    want = []
+    for k in range(_AF_BANDS):
+        v = 0
+        for pos in range(8):
+            idx = 8 * k + pos
+            if idx < len(bits) and bits[idx]:
+                v += 1 << pos
+        want.append(v)
+    assert got == want
