@@ -139,10 +139,24 @@ DIRTY_SINCE: dict = {
     # from), all-pruned/zero-file scans become explicit empty
     # relations, and the zero-batch stream merge target is guarded.
     # Fixture values unchanged (sims green x4 configs).
-    "scan_manifest_prune": 9,
     "scan_incremental_manifest_diff": 9,
     "sink_dynamic_partition_overwrite": 9,
     "sink_partitioned_pruning": 9,
     "join_partition_pruning_dynamic": 9,
     "stream_foreach_batch_upsert": 9,
+    # Round 10 (verdict item 3): source+tampered fingerprints fused
+    # into ONE lineitem scan (stack over the 1-row conditional
+    # aggregate); values identical, plan changed.
+    "dq_table_checksum": 10,
+    # Round 10 (r9 ADVICE): scoring cross-joins the bounded class list
+    # and LEFT-joins the sparse model, so a class sharing zero tokens
+    # with a doc still competes in the argmax with its true prior-only
+    # score.  Fixture values unchanged (shared vocabulary makes the
+    # old inner join coincide); SQL text changed on both engines.
+    "ml_naive_bayes_text": 10,
+    # Round 10 (r9 ADVICE): pruned LEAF-file reads carry the data-
+    # column schema only — leaf reads get no partition discovery, so
+    # including fb silently materialized it as all-NULL.  Output
+    # never projected fb; values unchanged, read schema changed.
+    "scan_manifest_prune": 10,
 }

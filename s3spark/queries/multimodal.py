@@ -890,3 +890,169 @@ def mm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- multimodal curation pipeline
+
+# Quality gate: drop the darkest ~18% of decoded images (pixel_sum <
+# 31500; the textured family's sums span 28,744-35,145) — the blob
+# analog of the text pipeline's row-local quality predicate.
+_MMC_QMIN = 31500
+# Shard packing budget: ~32.8k pixel_sum per survivor → ~6 docs/bin.
+_MMC_BUDGET = 200_000
+
+_MMC_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST({_ph_pixel_sum_sql()} AS BIGINT) AS pixel_sum,
+         {", ".join(f"({_ph_band_sql(k)}) AS b{k}" for k in range(4))}
+  FROM documents WHERE doc_id < {_PH_DOCS}
+),
+quality AS (SELECT * FROM sig WHERE pixel_sum >= {_MMC_QMIN}),
+bands AS (
+  SELECT doc_id, b0, b1, b2, b3, k,
+         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM quality, UNNEST(range(4)) AS u(k)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {_MMP_HAM}
+),
+absorbed AS (SELECT doc_a, COUNT(*) AS n FROM pairs GROUP BY doc_a),
+survivors AS (
+  SELECT q.doc_id, q.pixel_sum, COALESCE(a.n, 0) AS n_absorbed,
+         substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) AS shard
+  FROM quality q LEFT JOIN absorbed a ON a.doc_a = q.doc_id
+  WHERE q.doc_id NOT IN (SELECT doc_b FROM pairs)
+),
+packed AS (
+  SELECT shard, doc_id, pixel_sum, n_absorbed,
+         SUM(pixel_sum) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running
+  FROM survivors
+)
+SELECT shard,
+       CAST(floor((running - pixel_sum) / {_MMC_BUDGET}.0) AS BIGINT)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pixel_sum) AS BIGINT) AS bin_pixels,
+       CAST(SUM(n_absorbed) AS BIGINT) AS n_absorbed
+FROM packed
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
+@register("mm_curation_pipeline_e2e", oracle=_MMC_ORACLE)
+def mm_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full blob-corpus curation chain as ONE plan — the
+    multimodal mirror of curation_pipeline_e2e's end-to-end shape
+    (round-9 verdict stretch item):
+
+    1. ingest + decode + featurize + hash — real PNG payloads through
+       ONE Arrow kernel pass (chunk walk, CRC, inflate, de-filter,
+       pixel-sum feature, 64-bit dHash in 4×16-bit bands);
+    2. quality gate — row-local predicate on the DECODED feature
+       (pixel_sum ≥ {_MMC_QMIN}: drop under-exposed images), rides the
+       signature scan, zero shuffle;
+    3. near-dup dedup — band self-join among quality docs → codegen
+       bit_count Hamming ≤ {_MMP_HAM} → deterministic survivorship
+       (drop iff ANY smaller quality doc is a near-dup) via one
+       broadcast ANTI join, absorbed-duplicate counts carried along;
+    4. shard assignment + packing — survivors hash-shard by the first
+       md5 nibble of doc_id (16 write shards, the
+       shard_assignment_hash recipe) and pack into ~{_MMC_BUDGET}
+       pixel-budget bins by per-shard running cumsum (the
+       pack_sequences_greedy shape); output is the (shard, bin)
+       manifest a training loader consumes.
+
+    Composition cost beyond the stages: NOTHING — the quality filter
+    fuses into the signature scan, pairing is the JVM band equi-join,
+    survivorship is a broadcast anti-join, and the packing window's
+    per-shard exchange is the only post-signature shuffle.  Python
+    touches each payload exactly once (plan-gated to two MapInPandas
+    stages); everything downstream of the per-item signature is
+    codegen.  FULL value oracle: decode, features, banding, pairing,
+    survivorship, sharding, and packing all replay as pure doc_id
+    arithmetic in DuckDB.  At 100 TB: signatures persist (the
+    incremental-minhash pattern), shards write via
+    ``partitionBy("shard")``, and the per-shard packing window keys
+    on the shard nibble — 16-way (or 256-way with 2 nibbles)
+    parallelism with no global sort."""
+    b = _synth_media(spark, sf_dir, _encode_png_textured, _PH_DOCS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, _h, _d, _c, px = _decode_png(bytes(payload))
+                b0, b1, b2, b3 = _dhash_bands(px, w)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "pixel_sum": sum(px),
+                        "b0": b0, "b1": b1, "b2": b2, "b3": b3,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    sig = b.mapInPandas(
+        kernel,
+        schema="doc_id long, pixel_sum long, b0 int, b1 int, b2 int, b3 int",
+    ).localCheckpoint(eager=True)
+    quality = sig.filter(F.col("pixel_sum") >= _MMC_QMIN)
+    pairs = _band_self_join_hamming(
+        quality.select("doc_id", "b0", "b1", "b2", "b3"), 4, _MMP_HAM
+    ).select("doc_a", "doc_b")
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    absorbed = pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_absorbed")
+    )
+    survivors = (
+        quality.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(
+            F.broadcast(absorbed),
+            quality["doc_id"] == absorbed["doc_a"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "pixel_sum",
+            F.coalesce("n_absorbed", F.lit(0)).cast("long").alias(
+                "n_absorbed"
+            ),
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 1
+            ).alias("shard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = survivors.withColumn(
+        "running", F.sum("pixel_sum").over(win)
+    ).withColumn(
+        "bin",
+        F.floor(
+            (F.col("running") - F.col("pixel_sum")) / _MMC_BUDGET
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pixel_sum").cast("long").alias("bin_pixels"),
+            F.sum("n_absorbed").cast("long").alias("n_absorbed"),
+        )
+        .orderBy("shard", "bin")
+    )

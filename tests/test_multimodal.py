@@ -192,3 +192,72 @@ def test_audio_fingerprint_recovers_every_planted_pair(spark, sf_dir):
     assert planted <= got, "missed planted near-dup pairs"
     extras = got - planted
     assert len(extras) <= 10, f"too many cross-scene survivors: {extras}"
+
+
+def test_mm_curation_manifest_conserves_survivors_and_respects_budget(
+    spark, sf_dir
+):
+    """mm_curation_pipeline_e2e: (a) the manifest's doc total equals
+    an independent python replay of quality-gate + survivorship over
+    the pure pixel arithmetic; (b) per shard, bins are contiguous from
+    0 and every bin STARTS under its budget boundary (greedy cumsum
+    packing: a bin closes only once the running total crosses it);
+    (c) absorbed counts only sit on survivors (sum over manifest ==
+    total pair count)."""
+    from s3spark.queries.multimodal import (
+        _MMC_BUDGET,
+        _MMC_QMIN,
+        _MMP_HAM,
+        _PH_DOCS,
+        _ph_pixel,
+    )
+
+    rows = REGISTRY["mm_curation_pipeline_e2e"].fn(spark, sf_dir).collect()
+
+    # python replay: pixel sums -> quality -> bands -> pairs -> drops
+    def bands_of(doc):
+        from s3spark.queries.multimodal import _dhash_bands
+
+        px = bytearray(
+            _ph_pixel(x, y, doc) for y in range(16) for x in range(16)
+        )
+        return _dhash_bands(px, 16)
+
+    sums = {
+        d: sum(_ph_pixel(x, y, d) for x in range(16) for y in range(16))
+        for d in range(_PH_DOCS)
+    }
+    quality = [d for d in range(_PH_DOCS) if sums[d] >= _MMC_QMIN]
+    assert 0 < len(quality) < _PH_DOCS  # the gate actually bites
+    sig = {d: bands_of(d) for d in quality}
+    pairs = [
+        (a, b)
+        for i, a in enumerate(quality)
+        for b in quality[i + 1 :]
+        if any(sig[a][k] == sig[b][k] for k in range(4))
+        and sum(bin(sig[a][k] ^ sig[b][k]).count("1") for k in range(4))
+        <= _MMP_HAM
+    ]
+    dropped = {b for _, b in pairs}
+    survivors = [d for d in quality if d not in dropped]
+    assert sum(r.n_docs for r in rows) == len(survivors)
+    # the manifest carries absorbed counts for SURVIVING absorbers
+    # only — a doc that is itself absorbed takes its count with it
+    assert sum(r.n_absorbed for r in rows) == sum(
+        1 for a, _ in pairs if a not in dropped
+    )
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, bins in by_shard.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [r.bin for r in bins] == list(range(len(bins))), shard
+        # greedy packing: bin k's docs all START before boundary
+        # (k+1)*budget, so cumulative pixels THROUGH bin k must exceed
+        # k*budget whenever a bin k+1 exists
+        cum = 0
+        for r in bins[:-1]:
+            cum += r.bin_pixels
+            assert cum > (r.bin + 1) * _MMC_BUDGET - _MMC_BUDGET, shard
+            assert cum >= r.bin * _MMC_BUDGET, shard

@@ -69,6 +69,7 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "mm_image_phash_dedup",
         "mm_audio_fingerprint_dedup",
         "mm_pipeline_e2e",
+        "mm_curation_pipeline_e2e",
     }
     offenders = []
     for name in sorted(REGISTRY):
@@ -637,6 +638,25 @@ def test_mm_pipeline_python_touches_each_payload_once(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mm_curation_pipeline_stays_jvm_after_signature(spark, sf_dir):
+    """mm_curation_pipeline_e2e: same kernel-once contract as
+    mm_pipeline_e2e (final plan fans out over the eager signature
+    checkpoint, zero Python stages), plus the composite's own shape
+    guarantees — the quality filter fuses above the checkpointed scan
+    (no extra exchange before the band join) and the only
+    range-partitioning-free shuffles downstream are the band-join
+    hash exchange and the per-shard packing window."""
+    plan = plan_of(spark, sf_dir, "mm_curation_pipeline_e2e")
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the packing window keys on the shard nibble (hash exchange),
+    # never a global sort of the survivor corpus; the only range
+    # exchange allowed is the bounded (<=~90-row) final manifest sort
+    assert "hashpartitioning(shard" in plan, plan
 
 
 # Round-8 registry-wide trailing-sort audit (VERDICT r7 item 3): every
