@@ -87,6 +87,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline19,
     pipeline20,
     pipeline21,
+    pipeline22,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

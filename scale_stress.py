@@ -119,7 +119,15 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              "join_bitemporal", "dq_table_checksum",
              # round-9 extension batch three: orders-driven trend test
              # (calendar-bounded pair work, constant in fact scale)
-             "timeseries_mann_kendall"]
+             "timeseries_mann_kendall",
+             # round-10: lineitem-driven basket rules (per-order pair
+             # fan-out bounded by the 25-brand item space) and the
+             # orders-driven exact AUC (distinct-price-bounded cell
+             # shuffle + two-level rank prefix, the MWU shape).
+             # stats_fisher_exact is NOT on the panel — its cohort
+             # bounds to c_custkey < 1500 at every SF (plan evidence
+             # instead, the join_spatial_grid precedent)
+             "basket_association_lift", "rank_metrics_auc"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -211,7 +219,10 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # classification (per-user equi-join, linear pair volume)
             # and docs-driven LLR collocations (one bigram shuffle,
             # vocab-bounded marginals)
-            "join_interval_allen", "text_collocations_llr"]
+            "join_interval_allen", "text_collocations_llr",
+            # round-10: docs-driven calibration bins (row-local hash
+            # score -> one 10-bin shuffle, pure streaming aggregation)
+            "ml_calibration_bins"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 

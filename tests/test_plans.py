@@ -405,6 +405,14 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "text_collocations_llr",
         # calendar-bounded pair join (theil-sen recipe) + 1-row tie sum
         "timeseries_mann_kendall",
+        # bounded-domain exact enumeration: <=1,501-row generated
+        # factorial/k tables crossed with 1-row count/obs/const
+        # aggregates (constant at any SF by the c_custkey cut)
+        "stats_fisher_exact",
+        # 1-row basket-total broadcast (lift denominator)
+        "basket_association_lift",
+        # 1-row bucket-range stats broadcast (the MWU prefix scheme)
+        "rank_metrics_auc",
     }
     offenders = []
     for name in sorted(REGISTRY):
