@@ -88,6 +88,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline20,
     pipeline21,
     pipeline22,
+    pipeline23,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

@@ -127,7 +127,12 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # stats_fisher_exact is NOT on the panel — its cohort
              # bounds to c_custkey < 1500 at every SF (plan evidence
              # instead, the join_spatial_grid precedent)
-             "basket_association_lift", "rank_metrics_auc"]
+             "basket_association_lift", "rank_metrics_auc",
+             # round-10 batch two: orders-driven k-group tests (one
+             # <=5-row moment fold; rank variant rides the two-level
+             # prefix) and the one-Expand-pass column profile
+             "stats_anova_oneway", "stats_kruskal_wallis",
+             "dq_column_profile"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth

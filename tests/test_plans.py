@@ -413,6 +413,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "basket_association_lift",
         # 1-row bucket-range stats broadcast (the MWU prefix scheme)
         "rank_metrics_auc",
+        # 1-row bucket-range stats + 1-row tie-fold broadcasts
+        "stats_kruskal_wallis",
     }
     offenders = []
     for name in sorted(REGISTRY):
