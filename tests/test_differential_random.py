@@ -2955,3 +2955,209 @@ def test_wav_roundtrip_and_fingerprint_match_python_replay(data):
                 v += 1 << pos
         want.append(v)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10 key differentials: the association/evaluation/k-group batch
+# on hypothesis-generated tables (nulls, ties, empty groups, boundary
+# margins) — the same method that found the round-9 stats defects.
+# ---------------------------------------------------------------------------
+
+_CUST_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long,"
+    " c_acctbal double, c_mktsegment string"
+)
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+_PART_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string,"
+    " p_size long, p_retailprice double"
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            st.sampled_from([100.0, 100.01, 250.5, 9.99]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_anova_kruskal_auc_random_groups(rows, spark, tmp_path_factory):
+    """Random (group, value) tables with heavy ties, missing groups,
+    constant-value groups, and emptiness: ANOVA, Kruskal-Wallis, and
+    the exact AUC must hash-match their oracles on every draw."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    orows = [
+        (i, i % 3, "O", price, t0, prio)
+        for i, (prio, price) in enumerate(rows)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "kgrp_rand",
+        {"orders": (orows, _ORD_SCHEMA)},
+    )
+    for key in ("stats_anova_oneway", "stats_kruskal_wallis",
+                "rank_metrics_auc"):
+        q = REGISTRY[key]
+        assert_same(q.fn(spark, sf), con, q.oracle, name=key)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2500),  # some past the cut
+            st.sampled_from([-5.0, 0.0, 5.0]),  # 0 is NOT a success
+            st.sampled_from(["BUILDING", "OTHER"]),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_fisher_exact_random_margins(rows, spark, tmp_path_factory):
+    """Random 2×2 cohorts including zero margins (no BUILDING rows,
+    all-success, empty cohort): the exact enumeration must agree on
+    the selected k-set and the summed p on every draw — the margin
+    boundaries are where a hypergeometric support-range bug would
+    live."""
+    from s3spark.registry import REGISTRY
+
+    crows = [
+        (ck, f"c{ck}", 0, bal, seg) for ck, bal, seg in rows
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "fisher_rand",
+        {"customer": (crows, _CUST_SCHEMA)},
+    )
+    q = REGISTRY["stats_fisher_exact"]
+    got = q.fn(spark, sf)
+    assert_same(got, con, q.oracle, name="fisher_rand")
+    row = got.collect()[0]
+    if row.n and row.n > 0:
+        assert 0.0 < row.p_two_sided <= 1.0 + 1e-9
+
+
+@given(
+    li=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),   # order key
+            st.integers(min_value=1, max_value=12),  # part key (some orphan)
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_basket_lift_random_baskets(li, spark, tmp_path_factory):
+    """Random baskets with duplicate lines, orphan part keys (dropped
+    by the join), single-item baskets, and emptiness: pair counts and
+    ratios must hash-match the oracle on every draw."""
+    from s3spark.registry import REGISTRY
+
+    # the basket key reads only (l_orderkey, l_partkey); write that
+    # projection directly rather than the full _LI_SCHEMA (which has
+    # no l_partkey column)
+    lrows = [(okey, ln, pk) for ln, (okey, pk) in enumerate(li)]
+    prows = [
+        (pk, f"p{pk}", f"B{pk % 3}", "t", 1, 1.0)
+        for pk in range(1, 9)  # partkeys 9-12 stay orphans
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "basket_rand",
+        {
+            "lineitem": (
+                lrows,
+                "l_orderkey long, l_linenumber long, l_partkey long",
+            ),
+            "part": (prows, _PART_SCHEMA),
+        },
+    )
+    q = REGISTRY["basket_association_lift"]
+    assert_same(q.fn(spark, sf), con, q.oracle, name="basket_rand")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                min_size=0,
+                max_size=12,
+            ),
+            st.integers(min_value=295, max_value=305),  # label boundary
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_calibration_bins_random_docs(rows, spark, tmp_path_factory):
+    """Random texts (including empty strings) with n_chars hugging the
+    label threshold: hash scores, bins, rates, and Brier must
+    hash-match the oracle on every draw."""
+    from s3spark.registry import REGISTRY
+
+    drows = [
+        (i, text, "en", "s", n_chars)
+        for i, (text, n_chars) in enumerate(rows)
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "calib_rand",
+        {"documents": (drows, _DOC_SCHEMA)},
+    )
+    q = REGISTRY["ml_calibration_bins"]
+    assert_same(q.fn(spark, sf), con, q.oracle, name="calib_rand")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            st.one_of(st.none(), st.sampled_from(["O", "F"])),
+            st.one_of(st.none(), st.sampled_from([10.0, 10.01, 99.99])),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            st.one_of(st.none(), st.sampled_from(["1-URGENT", "5-LOW"])),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_column_profile_random_nulls(rows, spark, tmp_path_factory):
+    """Random orders with NULLs in EVERY column (including all-null
+    and empty tables): per-column null counts, exact distincts, and
+    canonical min/max must hash-match the oracle on every draw."""
+    import datetime
+
+    from s3spark.registry import REGISTRY
+
+    t0 = datetime.datetime(2024, 1, 1)
+    orows = [
+        (
+            ok,
+            ck,
+            stat,
+            price,
+            (t0 + datetime.timedelta(days=d)) if d is not None else None,
+            prio,
+        )
+        for ok, ck, stat, price, d, prio in rows
+    ]
+    sf, con = _fixture_dir(
+        spark, tmp_path_factory, "profile_rand",
+        {"orders": (orows, _ORD_SCHEMA)},
+    )
+    q = REGISTRY["dq_column_profile"]
+    assert_same(q.fn(spark, sf), con, q.oracle, name="profile_rand")
