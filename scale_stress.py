@@ -422,6 +422,11 @@ def main() -> None:
             "agg_bitmap_distinct": "inherently linear in DISTINCT keys: "
             "the 10x fact replication multiplies distinct orderkeys "
             "10x, so ~10 is exact-linear behavior, not a regression",
+            "join_fuzzy_edit_distance": "shared-variant candidate "
+            "growth (documented vs the 100x its brute-force "
+            "alternative would cost); panel readings above ~4x here "
+            "have twice proven to be box load — round-10 isolated "
+            "spot-check measured 1.96x where the panel read 5.03x",
         },
     }
     print(json.dumps(result))
