@@ -8,7 +8,9 @@ verifies (~50/round).  Rounds 1-3 witnessed 121 distinct green keys
 the dict each import so the window always lands on dirty/rewritten
 keys first, then never-witnessed keys, then witnessed ones — the
 key-level rotation the round-2 verdict asked for, tightened in round
-3 to count only GREEN rows as witnessed.
+3 to count only GREEN rows as witnessed, and in round 11 to order the
+witnessed tail LRU (oldest latest-witness first) so no key's green
+evidence ages unboundedly.
 """
 
 from s3spark.queries import (  # noqa: F401
@@ -89,6 +91,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline21,
     pipeline22,
     pipeline23,
+    pipeline24,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402
@@ -203,7 +206,24 @@ def _rotate_registry() -> None:
         for k, v in REGISTRY.items()
         if k not in witnessed and k not in dirty_set
     }
-    seen = {k: v for k, v in REGISTRY.items() if k in witnessed}
+    # Witnessed remainder in LRU order (round-10 verdict item 2):
+    # oldest latest-green-witness first, registration order as the
+    # tiebreak, so every key's witness age is bounded by how fast the
+    # ~50-key window cycles the non-dirty tail (~7 rounds at 320 keys)
+    # instead of r1-witnessed keys staying parked behind newer ones
+    # forever.
+    latest_green: dict = {}
+    for n in sorted(rounds):
+        for k in rounds[n]:
+            latest_green[k] = n
+    reg_pos = {k: i for i, k in enumerate(REGISTRY)}
+    seen = {
+        k: REGISTRY[k]
+        for k in sorted(
+            (k for k in REGISTRY if k in witnessed),
+            key=lambda k: (latest_green.get(k, 0), reg_pos[k]),
+        )
+    }
     REGISTRY.clear()
     REGISTRY.update(dirty)
     REGISTRY.update(unseen)

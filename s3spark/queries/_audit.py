@@ -82,13 +82,27 @@ _R9_SORT_FREE_NEW: tuple = (
 
 SORT_FREE_KEYS = SORT_FREE_KEYS + _R9_SORT_FREE_NEW
 
+# Round-11 keys born sort-free (row-scale outputs, no decorative
+# global orderBy ever shipped; listed here so the plan gate pins the
+# invariant from birth — these carry no DIRTY_SINCE entry).
+_R11_SORT_FREE_NEW: tuple = (
+    "dedup_substring_exact",
+    "sim_pq_codebook_assign",
+)
+
+SORT_FREE_KEYS = SORT_FREE_KEYS + _R11_SORT_FREE_NEW
+
 # All round-8 rewrites: the 92 sort strips above plus the 5 substantive
 # rewrites (join strategy / shared-helper arithmetic / broadcast-hint
 # semantics).  50 of these cleared via green CORRECTNESS_r08 rows the
 # moment that artifact landed; the remaining 47 front the round-9
 # window and clear themselves when CORRECTNESS_r09.json is committed.
 DIRTY_SINCE: dict = {
-    **{k: 8 for k in SORT_FREE_KEYS if k not in _R9_SORT_FREE_NEW},
+    **{
+        k: 8
+        for k in SORT_FREE_KEYS
+        if k not in _R9_SORT_FREE_NEW and k not in _R11_SORT_FREE_NEW
+    },
     "join_multiway": 8,
     "agg_countmin_sketch": 8,
     # Round 9: the three classical-stat tails gain degenerate-
@@ -159,4 +173,18 @@ DIRTY_SINCE: dict = {
     # including fb silently materialized it as all-NULL.  Output
     # never projected fb; values unchanged, read schema changed.
     "scan_manifest_prune": 10,
+    # Round 11 (r10 ADVICE): min/max aggregate on the NATIVE column
+    # (decimal/date) and canonicalize AFTER the reduction — the old
+    # MIN(CAST(c AS STRING)) form reported lexicographic extremes on
+    # numeric columns.  VALUES CHANGED on both engines (oracle too).
+    "dq_column_profile": 11,
+    # Round 11 (r10 ADVICE): sig_95 critical value selected by a
+    # per-df literal CASE on k-1 (df 1..10, NULL beyond) instead of
+    # the hardcoded df=4 quantile.  Fixture value unchanged (k=5);
+    # expression text changed on both engines.
+    "stats_kruskal_wallis": 11,
+    # Round 11 (verdict item 5): stages 1-3 factored into
+    # _e2e_clean/_e2e_survivors for the survivors-equivalence test;
+    # plan and values unchanged, code moved.
+    "curation_pipeline_e2e": 11,
 }

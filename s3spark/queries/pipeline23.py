@@ -136,16 +136,32 @@ _KW_H = (
     " / (1.0 - t3 / (CAST(n AS DOUBLE) * n * n - n)) END"
 )
 
+# chi²(df) 5% quantiles as literals, df = k−1 selected from the data
+# (the Benford/Mann-Kendall literal recipe — never an
+# incomplete-gamma at run time).  Round-10 advice caught the earlier
+# hardcoded df=4 literal: correct for the 5-priority fixture but a
+# wrong verdict on any k≠5 corpus.  df outside the literal table
+# (k>11) yields NULL sig — an honest "compute it offline", never a
+# wrong cutoff.
+_KW_CRIT = (
+    "CASE k - 1"
+    " WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728"
+    " WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587"
+    " WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313 WHEN 9 THEN 16.918978"
+    " WHEN 10 THEN 18.307038 ELSE NULL END"
+)
+
 _KW_TAIL = (
     "CAST(k AS BIGINT) AS k_groups",
     "CAST(n AS BIGINT) AS n",
     "CAST(n_cells AS BIGINT) AS n_distinct_values",
     f"CAST({_KW_H} AS DOUBLE) AS h_stat",
-    # 9.487729 = chi²(df=4) 5% quantile as a literal (k=5 groups on
-    # this fixture; the Benford/Mann-Kendall literal recipe — never
-    # an incomplete-gamma at run time).  NULL H is NOT significant.
+    # NULL H is NOT significant (0); NULL critical value (df > 10)
+    # propagates NULL — unknown, not "not significant".
     f"CAST(CASE WHEN ({_KW_H}) IS NULL THEN 0"
-    f" WHEN ({_KW_H}) > 9.487729 THEN 1 ELSE 0 END AS BIGINT) AS sig_95",
+    f" WHEN ({_KW_H}) > ({_KW_CRIT}) THEN 1"
+    f" WHEN ({_KW_H}) <= ({_KW_CRIT}) THEN 0"
+    f" ELSE NULL END AS BIGINT) AS sig_95",
 )
 
 _KW_ORACLE = f"""
@@ -285,37 +301,49 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dq_table_checksum recipe — referencing a CTE six times would
 # re-scan six times), while the oracle unions six scans (DuckDB has
 # no stack; its scans are cheap and the VALUES are what's compared).
+#
+# min/max aggregate on the NATIVE (or fixed-scale decimal / date)
+# column and canonicalize to string AFTER the reduction — round-10
+# advice caught the earlier MIN(CAST(c AS STRING)) form reporting
+# lexicographic extremes on numeric columns (max o_orderkey '9999'
+# when the true max was 14999).  Each entry is (column, inner
+# aggregand, outer string canonicalizer over the aggregate result).
 _PROF_COLS = (
-    ("o_orderkey", "CAST({c} AS {ST})"),
-    ("o_custkey", "CAST({c} AS {ST})"),
-    ("o_orderstatus", "{c}"),
-    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(18,2)) AS {ST})"),
-    ("o_orderdate", "{DFMT}"),
-    ("o_orderpriority", "{c}"),
+    ("o_orderkey", "{c}", "CAST({v} AS {ST})"),
+    ("o_custkey", "{c}", "CAST({v} AS {ST})"),
+    ("o_orderstatus", "{c}", "{v}"),
+    ("o_totalprice", "CAST({c} AS DECIMAL(18,2))", "CAST({v} AS {ST})"),
+    ("o_orderdate", "CAST({c} AS DATE)", "{DFMT}"),
+    ("o_orderpriority", "{c}", "{v}"),
 )
 
 
 def _prof_exprs(spark_side: bool) -> list[str]:
     st = "STRING" if spark_side else "VARCHAR"
     out = []
-    for c, canon in _PROF_COLS:
-        dfmt = (
-            f"date_format({c}, 'yyyy-MM-dd')"
-            if spark_side
-            else f"strftime(CAST({c} AS DATE), '%Y-%m-%d')"
-        )
-        cn = canon.format(c=c, ST=st, DFMT=dfmt)
+    for c, inner, canon in _PROF_COLS:
+        agg_in = inner.format(c=c)
+
+        def _canon(v: str) -> str:
+            dfmt = (
+                f"date_format({v}, 'yyyy-MM-dd')"
+                if spark_side
+                else f"strftime({v}, '%Y-%m-%d')"
+            )
+            return canon.format(v=v, ST=st, DFMT=dfmt)
+
         out.append(
             f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}, "
             f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
-            f"MIN({cn}) AS mn_{c}, MAX({cn}) AS mx_{c}"
+            f"{_canon(f'MIN({agg_in})')} AS mn_{c}, "
+            f"{_canon(f'MAX({agg_in})')} AS mx_{c}"
         )
     return out
 
 
 def _prof_oracle() -> str:
     selects = []
-    for c, _ in _PROF_COLS:
+    for c, _, _ in _PROF_COLS:
         selects.append(
             f"""
 SELECT '{c}' AS col, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
@@ -336,9 +364,10 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are exact (the distinct counts deliberately
     exact, not HLL — this is the audit of record; approximate twins
-    exist under agg_approx_distinct); min/max canonicalize through
-    fixed-scale decimal / date formats so string comparison is
-    engine-portable.
+    exist under agg_approx_distinct); min/max aggregate on the NATIVE
+    column (fixed-scale decimal for prices, DATE for dates) so the
+    extremes are true numeric/temporal extremes, then canonicalize
+    the 1-row result to engine-portable strings AFTER the reduction.
 
     Engine shape: ONE pass — Spark plans the six COUNT(DISTINCT)s as
     a single Expand (×7 row fan-out with partial aggregation, the
@@ -350,7 +379,7 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = ", ".join(_prof_exprs(True))
     stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROF_COLS
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _, _ in _PROF_COLS
     )
     return spark.sql(
         f"""

@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4.1.2 turned on checkpoint file checksums by default
+        # (ChecksumCheckpointFileManager writes + verifies a sidecar
+        # checksum per WAL/state file).  Round-11 bisect of the
+        # "streaming family runs 1.2-3.5x its committed values with
+        # zero code diff" regression (r10 verdict): the checksum
+        # manager alone doubles stream_outer_join_watermark's run-1
+        # wall (13.6 s -> 6.7 s measured A/B on a quiet box).  Local
+        # scratch checkpoints add no integrity risk worth 2x on every
+        # stateful micro-batch; on an unreliable object store, flip it
+        # back on per-deployment.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # S3A posture for real clusters; harmless on local file paths.
         .config("spark.hadoop.fs.s3a.fast.upload", "true")
         .config("spark.hadoop.fs.s3a.multipart.size", "67108864")

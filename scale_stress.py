@@ -331,20 +331,24 @@ def ann_recall(spark) -> dict:
         for b in range(a + 1, _PH_DOCS)
         if a % _PH_SCENES == b % _PH_SCENES
     }
-    out: dict[str, dict[str, float]] = {}
+    out: dict[str, dict[str, float | None]] = {}
     for label, sf in (("sf0.01", DOC_SMALL), ("sf0.1", DOC_BIG)):
         exact = pairset("sim_cosine_topk", sf)
+        # Empty denominators record null rather than aborting the
+        # harness after every timing panel has already been paid for
+        # (round-10 advice: a degenerate/shrunk embeddings fixture
+        # would otherwise ZeroDivisionError here).
         for key in ("sim_ann_ivf", "sim_ann_lsh_hand"):
             approx = pairset(key, sf)
-            out.setdefault(key, {})[label] = round(
-                len(exact & approx) / len(exact), 4
+            out.setdefault(key, {})[label] = (
+                round(len(exact & approx) / len(exact), 4) if exact else None
             )
         got = {
             (r.doc_a, r.doc_b)
             for r in REGISTRY["mm_image_phash_dedup"].fn(spark, sf).collect()
         }
-        out.setdefault("mm_image_phash_dedup", {})[label] = round(
-            len(got & planted) / len(planted), 4
+        out.setdefault("mm_image_phash_dedup", {})[label] = (
+            round(len(got & planted) / len(planted), 4) if planted else None
         )
     return out
 

@@ -261,3 +261,65 @@ def test_mm_curation_manifest_conserves_survivors_and_respects_budget(
             cum += r.bin_pixels
             assert cum > (r.bin + 1) * _MMC_BUDGET - _MMC_BUDGET, shard
             assert cum >= r.bin * _MMC_BUDGET, shard
+
+
+def test_avi_codec_roundtrip_kernel():
+    """The AVI encode/decode pair is a real demuxer: header-declared
+    geometry honored, bottom-up DIB rows flipped, stride unpadded,
+    frame count verified, pixels match the generator exactly."""
+    from s3spark.queries.multimodal import (
+        _VID_SEG,
+        _decode_avi,
+        _encode_avi,
+        _vid_frames,
+        _vid_pixel,
+    )
+
+    for doc_id in (0, 3, 149):
+        w, h, frames = _decode_avi(_encode_avi(doc_id))
+        assert (w, h) == (16, 16)
+        assert len(frames) == _vid_frames(doc_id)
+        for t, px in enumerate(frames):
+            scene = t // _VID_SEG
+            assert list(px) == [
+                _vid_pixel(x, y, scene, doc_id)
+                for y in range(h)
+                for x in range(w)
+            ]
+
+
+def test_avi_decoder_rejects_corruption():
+    from s3spark.queries.multimodal import _decode_avi, _encode_avi
+
+    good = _encode_avi(5)
+    with pytest.raises(ValueError, match="magic"):
+        _decode_avi(b"JUNK" + good[4:])
+    # drop the last movi frame chunk (before idx1): count mismatch
+    idx_at = good.rindex(b"idx1")
+    movi_at = good.rindex(b"movi")
+    last_frame_at = good.rindex(b"00db", movi_at, idx_at)
+    truncated = good[:last_frame_at] + good[idx_at - 8 :]
+    # re-patching RIFF/LIST sizes is beside the point — the demuxer
+    # must fail loudly one way or another, never return short
+    with pytest.raises(ValueError):
+        _decode_avi(truncated)
+
+
+def test_video_temporal_dedup_keeps_scene_starts(spark, sf_dir):
+    """Frames inside a scene are byte-identical, so the lag-window
+    dedup must (a) always keep frame 0, (b) never keep a mid-scene
+    frame, (c) keep at most one frame per scene."""
+    from s3spark.queries.multimodal import _VID_SEG, _vid_frames
+
+    rows = REGISTRY["mm_frame_sample_video"].fn(spark, sf_dir).collect()
+    assert rows, "no frames survived dedup"
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_no)
+        assert r.frame_no % _VID_SEG == 0, (
+            f"kept a mid-scene frame {r.frame_no} of doc {r.doc_id}"
+        )
+        assert r.n_frames == _vid_frames(r.doc_id)
+    for doc_id, kept in by_doc.items():
+        assert 0 in kept, f"doc {doc_id} lost its first frame"
+        assert len(kept) == len(set(kept))

@@ -1,0 +1,120 @@
+"""Behavioral tests for round-11 keys: exact substring dedup (planted
+maximal runs, cross-doc and self-duplication) and product-quantization
+assignment (brute-force argmin agreement, code-range invariants)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import s3spark.queries  # noqa: F401
+from s3spark.queries.pipeline24 import _SUB_L, _pq_cent
+from s3spark.registry import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def planted_sub_dir(tmp_path_factory):
+    """documents.parquet with known duplicated token runs:
+
+    - docs 0 and 1 share a 60-token run (doc 0 at tokens 1-60, doc 1
+      at tokens 21-80) surrounded by disjoint vocabulary;
+    - doc 2 is X+X with |X| = 55 (self-duplication inside ONE doc);
+    - doc 3 is 80 unique tokens (no duplication);
+    - doc 4 is 30 tokens (below the 50-token shingle floor).
+    """
+    d = tmp_path_factory.mktemp("planted_sub")
+    shared = [f"s{i}" for i in range(60)]
+    x = [f"x{i}" for i in range(55)]
+    docs = [
+        (0, shared + [f"a{i}" for i in range(20)]),
+        (1, [f"b{i}" for i in range(20)] + shared + [f"c{i}" for i in range(10)]),
+        (2, x + x),
+        (3, [f"u{i}" for i in range(80)]),
+        (4, [f"v{i}" for i in range(30)]),
+    ]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(toks),
+            "lang": "en",
+            "source": f"src{i}",
+            "n_chars": len(" ".join(toks)),
+        }
+        for i, toks in docs
+    ]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_substring_dedup_finds_planted_maximal_runs(spark, planted_sub_dir):
+    out = {
+        (r.doc_id, r.run_start): (r.n_shingles, r.dup_len_tokens)
+        for r in REGISTRY["dedup_substring_exact"]
+        .fn(spark, planted_sub_dir)
+        .collect()
+    }
+    # shared 60-token run -> 11 duplicated 50-shingles, maximal run 60
+    assert out[(0, 1)] == (11, 60)
+    assert out[(1, 21)] == (11, 60)
+    # X+X self-duplication: both copies of the 55-token X reported
+    assert out[(2, 1)] == (6, 55)
+    assert out[(2, 56)] == (6, 55)
+    # nothing else: unique doc and sub-floor doc contribute no runs
+    assert set(out) == {(0, 1), (1, 21), (2, 1), (2, 56)}
+
+
+def test_substring_dedup_run_arithmetic_on_fixture(spark, sf_dir):
+    rows = REGISTRY["dedup_substring_exact"].fn(spark, sf_dir).collect()
+    assert rows, "fixture corpus has planted near-dups; expected runs"
+    by_doc: dict = {}
+    for r in rows:
+        assert r.dup_len_tokens == r.n_shingles + (_SUB_L - 1)
+        assert r.run_start >= 1 and r.n_shingles >= 1
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.run_start, r.run_start + r.n_shingles - 1)
+        )
+    # maximal runs never touch or overlap (they'd have merged)
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, f"doc {doc_id}: non-maximal runs {spans}"
+
+
+def test_pq_codes_match_bruteforce_argmin(spark, sf_dir):
+    out = {
+        r.vec_id: r
+        for r in REGISTRY["sim_pq_codebook_assign"].fn(spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 25")
+        .collect()
+    }
+    assert len(out) >= len(emb)
+    for vec_id, v in emb.items():
+        row = out[vec_id]
+        distortion = 0.0
+        for m in range(8):
+            dists = []
+            for k in range(16):
+                d = 0.0
+                for i in range(8):
+                    t = float(v[m * 8 + i]) - _pq_cent(m, k, i)
+                    d += t * t
+                dists.append(d)
+            best = min(range(16), key=lambda k: (dists[k], k))
+            assert getattr(row, f"code_{m}") == best, (vec_id, m)
+            distortion += dists[best]
+        assert abs(row.distortion - round(distortion, 6)) < 1e-9
+
+
+def test_pq_codes_in_range_and_total(spark, sf_dir):
+    df = REGISTRY["sim_pq_codebook_assign"].fn(spark, sf_dir)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = df.collect()
+    assert len(rows) == n_vecs  # every vector encoded, exactly once
+    for r in rows:
+        for m in range(8):
+            assert 0 <= getattr(r, f"code_{m}") < 16
+        assert r.distortion >= 0.0

@@ -70,6 +70,7 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "mm_audio_fingerprint_dedup",
         "mm_pipeline_e2e",
         "mm_curation_pipeline_e2e",
+        "mm_frame_sample_video",
     }
     offenders = []
     for name in sorted(REGISTRY):
@@ -667,6 +668,20 @@ def test_mm_curation_pipeline_stays_jvm_after_signature(spark, sf_dir):
     # never a global sort of the survivor corpus; the only range
     # exchange allowed is the bounded (<=~90-row) final manifest sort
     assert "hashpartitioning(shard" in plan, plan
+
+
+def test_mm_video_dedup_stays_jvm_after_kernel(spark, sf_dir):
+    """mm_frame_sample_video: exactly two Python stages (AVI synth +
+    demux/hash kernel — payload touches Python once each way), and
+    the temporal dedup downstream is pure JVM: the lag window keys on
+    doc_id (hash exchange per video, never a global shuffle of frame
+    rows before the window)."""
+    plan = plan_of(spark, sf_dir, "mm_frame_sample_video")
+    assert plan.count("MapInPandas") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 # Round-8 registry-wide trailing-sort audit (VERDICT r7 item 3): every
