@@ -318,7 +318,7 @@ _PROF_COLS = (
 )
 
 
-def _prof_exprs(spark_side: bool) -> list[str]:
+def _prof_exprs(spark_side: bool, with_distinct: bool = True) -> list[str]:
     st = "STRING" if spark_side else "VARCHAR"
     out = []
     for c, inner, canon in _PROF_COLS:
@@ -332,9 +332,14 @@ def _prof_exprs(spark_side: bool) -> list[str]:
             )
             return canon.format(v=v, ST=st, DFMT=dfmt)
 
+        nd = (
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+            if with_distinct
+            else ""
+        )
         out.append(
             f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}, "
-            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+            f"{nd}"
             f"{_canon(f'MIN({agg_in})')} AS mn_{c}, "
             f"{_canon(f'MAX({agg_in})')} AS mx_{c}"
         )
@@ -369,27 +374,40 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes are true numeric/temporal extremes, then canonicalize
     the 1-row result to engine-portable strings AFTER the reduction.
 
-    Engine shape: ONE pass — Spark plans the six COUNT(DISTINCT)s as
-    a single Expand (×7 row fan-out with partial aggregation, the
-    agg_multi_distinct mechanism), and the per-column report rows fan
-    out of the 1-row aggregate via stack AFTER the reduction, so the
-    table is scanned exactly once (plan-gated)."""
+    Engine shape: TWO passes, measured, not assumed (round-10 verdict
+    item 7): pass 1 is the six exact COUNT(DISTINCT)s as one Expand +
+    two-level agg (the agg_multi_distinct mechanism — ONE scan for
+    all six, never six jobs); pass 2 is a plain single-level
+    aggregate for rows/nulls/min/max with NO Expand.  The previous
+    single-scan form fanned the 13 plain aggregates through the x7
+    Expand too — scripts/profile_cost_check.py measured that at
+    4.11 s vs 1.58 s for this split at sf0.1 (4.43 vs 3.10 at 10x
+    orders; PLANS.md), so the second scan is cheaper than hauling
+    every plain aggregate through the fan-out at every scale tested.
+    The two 1-row aggregates broadcast-join and stack() fans the
+    per-column report AFTER the reductions (plan-gated: exactly two
+    scans, exactly one Expand)."""
     table(spark, sf_dir, "orders").createOrReplaceTempView(
         "p23_prof_orders"
     )
-    aggs = ", ".join(_prof_exprs(True))
+    nd_aggs = ", ".join(
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c, _, _ in _PROF_COLS
+    )
+    plain_aggs = ", ".join(_prof_exprs(True, with_distinct=False))
     stack_args = ", ".join(
         f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _, _ in _PROF_COLS
     )
     return spark.sql(
         f"""
-WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {aggs}
-           FROM p23_prof_orders)
+WITH nd AS (SELECT {nd_aggs} FROM p23_prof_orders),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {plain_aggs}
+      FROM p23_prof_orders)
 SELECT col, n_rows, n_rows - nn AS n_null, nd AS n_distinct,
        mn AS min_s, mx AS max_s
 FROM (
   SELECT n_rows,
          stack({len(_PROF_COLS)}, {stack_args}) AS (col, nn, nd, mn, mx)
-  FROM a
+  FROM a JOIN nd ON true
 )"""
     )

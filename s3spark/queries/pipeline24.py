@@ -6,11 +6,15 @@ training-data pipeline (r10 verdict items 3 and 6).
   length >= 50 across the corpus (the public ExactSubstr technique,
   re-expressed for Spark: position-indexed 50-token shingle hashes,
   one content-hash shuffle, gaps-and-islands merge per doc).
-- ``sim_pq_codebook_assign``: product-quantization codebook
-  assignment — the ANN-index *build* step (IVF-PQ's second half,
-  complementing ``sim_ann_ivf``'s coarse quantizer): 8 sub-quantizers
-  x 16 literal centroids, exact squared-L2 argmin per subvector,
-  pure map-side projection.
+- ``sim_pq_codebook_assign``: product-quantization encoding — the
+  ANN-index *build* step (IVF-PQ's second half, complementing
+  ``sim_ann_ivf``'s coarse quantizer): 8 sub-quantizers x 16
+  deterministic sampled centroids, exact squared-L2 argmin per
+  subvector.
+- ``sim_pq_adc_topk``: the matching *search* step — asymmetric
+  distance computation over the codes (8 table lookups per
+  candidate) with exact re-rank of the top-50, recall-measured
+  against exact search.
 
 Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
 has no relational surface; extends SURVEY.md §2.3 sections G/H.
@@ -134,92 +138,213 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# sim_pq_codebook_assign
+# sim_pq_codebook_assign / sim_pq_adc_topk
 # --------------------------------------------------------------------------
 
 _PQ_M = 8  # sub-quantizers (64-dim embedding -> 8 x 8-dim subvectors)
 _PQ_K = 16  # centroids per sub-quantizer (4-bit codes)
 _PQ_SUB = 8  # dims per subvector
+_PQ_QUERIES = 5  # verified query slice (the sim_ann_ivf convention)
+_PQ_CAND = 50  # ADC candidate cut before exact re-rank
+_PQ_TOPK = 5
+
+_PQ_DIM = _PQ_M * _PQ_SUB
 
 
-def _pq_cent(m: int, k: int, i: int) -> float:
-    """Literal centroid grid: c = ((131k + 17m + 7i) mod 41 - 20) / 32.
-    Every value is n/32 with |n| <= 20 — exactly representable in
-    binary AND in its finite decimal spelling, so the literal text
-    parses to the identical double in both engines."""
-    return ((k * 131 + m * 17 + i * 7) % 41 - 20) / 32.0
+def _pq_prefix_sql(el) -> str:
+    """Shared CTE prefix for the PQ keys (both engines, differing
+    ONLY in the element accessor ``el(idx) -> str``, 1-based):
 
+    - ``v``: float64 elements e1..e64 per vector;
+    - ``cb``: the codebook — the first {_PQ_K} vectors' subvectors
+      (deterministic sampled codebook, the sim_ann_ivf centroid
+      convention; a k-means-trained codebook drops in without
+      changing the plan — see tests/test_pipeline24.py where the
+      sampled codebook's recall is measured against exact search);
+    - ``pc``: all (vector, centroid) pairs with per-subspace squared
+      distances d_0..d_7;
+    - ``mins``: per-vector per-subspace minima mn_0..mn_7;
+    - ``codes``: exact argmin codes, ties to the smaller cent_id via
+      MIN(CASE WHEN d = mn THEN cent_id END).
 
-def _pq_sql(el) -> str:
-    """Shared SQL text for both engines, differing ONLY in the element
-    accessor ``el(idx) -> str`` (1-based).  Every arithmetic step —
-    (e-c)² products, the left-associated 8-term distance sums, the
-    left-associated distortion sum — is written as explicit
-    left-to-right expressions, so both engines execute the identical
-    IEEE operation sequence on identical inputs and the doubles match
-    BITWISE (not just to tolerance): exact float64 inputs (float32
-    upcast + n/32 literals), same rounding per op."""
+    Bitwise portability: every distance is an explicit left-to-right
+    8-term sum over exact float64 inputs (float32 upcast), so both
+    engines execute the identical IEEE op sequence — equality in the
+    argmin CASE and the MIN fold compare identical doubles, never
+    "close" ones."""
     els = ", ".join(
-        f"CAST({el(i + 1)} AS DOUBLE) AS e{i + 1}"
-        for i in range(_PQ_M * _PQ_SUB)
+        f"CAST({el(i + 1)} AS DOUBLE) AS e{i + 1}" for i in range(_PQ_DIM)
     )
+    c_els = ", ".join(f"e{i + 1} AS c{i + 1}" for i in range(_PQ_DIM))
     d_cols = []
     for m in range(_PQ_M):
-        for k in range(_PQ_K):
-            terms = []
-            for i in range(_PQ_SUB):
-                idx = m * _PQ_SUB + i + 1
-                c = repr(_pq_cent(m, k, i))
-                terms.append(f"(e{idx} - {c}) * (e{idx} - {c})")
-            d_cols.append(f"({' + '.join(terms)}) AS d_{m}_{k}")
+        terms = []
+        for i in range(_PQ_SUB):
+            idx = m * _PQ_SUB + i + 1
+            terms.append(f"(v.e{idx} - cb.c{idx}) * (v.e{idx} - cb.c{idx})")
+        d_cols.append(f"({' + '.join(terms)}) AS d_{m}")
     mins = ", ".join(
-        f"least({', '.join(f'd_{m}_{k}' for k in range(_PQ_K))}) AS mn_{m}"
+        f"MIN(d_{m}) AS mn_{m}" for m in range(_PQ_M)
+    )
+    codes = ", ".join(
+        f"MIN(CASE WHEN p.d_{m} = m.mn_{m} THEN p.cent_id END) AS code_{m}"
         for m in range(_PQ_M)
     )
-    codes = []
-    for m in range(_PQ_M):
-        whens = " ".join(
-            f"WHEN d_{m}_{k} = mn_{m} THEN {k}" for k in range(_PQ_K)
-        )
-        codes.append(f"CAST(CASE {whens} END AS INT) AS code_{m}")
-    distortion = " + ".join(f"mn_{m}" for m in range(_PQ_M))
     return f"""
 WITH v AS (SELECT vec_id, {els} FROM embeddings),
-d AS (SELECT vec_id, {", ".join(d_cols)} FROM v),
-mn AS (SELECT *, {mins} FROM d)
-SELECT vec_id, {", ".join(codes)},
+cb AS (SELECT vec_id AS cent_id, {c_els} FROM v WHERE vec_id < {_PQ_K}),
+pc AS (
+  SELECT v.vec_id, cb.cent_id, {", ".join(d_cols)}
+  FROM v CROSS JOIN cb
+),
+mins AS (SELECT vec_id, {mins} FROM pc GROUP BY vec_id),
+codes AS (
+  SELECT p.vec_id, {codes}
+  FROM pc p JOIN mins m ON m.vec_id = p.vec_id
+  GROUP BY p.vec_id
+)"""
+
+
+def _pq_assign_sql(el) -> str:
+    distortion = " + ".join(f"mn_{m}" for m in range(_PQ_M))
+    code_cols = ", ".join(
+        f"CAST(c.code_{m} AS INT) AS code_{m}" for m in range(_PQ_M)
+    )
+    return f"""{_pq_prefix_sql(el)}
+SELECT c.vec_id, {code_cols},
        ROUND({distortion}, 6) AS distortion
-FROM mn
+FROM codes c JOIN mins m ON m.vec_id = c.vec_id
 """
 
 
 @register(
     "sim_pq_codebook_assign",
-    oracle=_pq_sql(lambda i: f"embedding[{i}]"),
+    oracle=_pq_assign_sql(lambda i: f"embedding[{i}]"),
 )
 def sim_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding: each 64-dim embedding splits
-    into 8 subvectors of 8 dims; each subvector is assigned its
-    exact-argmin centroid among 16 literal per-subspace centroids
-    (squared L2, ties to the smaller code — CASE scans k ascending).
-    Output: 8 x 4-bit codes (a 32-bit PQ code) + total quantization
-    distortion — the index-build step of IVF-PQ, pairing with
-    ``sim_ann_ivf``'s coarse quantizer.
+    """Product-quantization encoding — the ANN index-BUILD step
+    (IVF-PQ's second half, pairing with ``sim_ann_ivf``'s coarse
+    quantizer): each 64-dim embedding splits into 8 subvectors of 8
+    dims; each subvector is assigned its exact-argmin centroid among
+    16 deterministic codebook entries (the first 16 vectors'
+    subvectors — sampled, zero training, per-SF consistent; swap in
+    k-means centroids without touching the plan).  Output: 8 x 4-bit
+    codes (a 32-bit PQ code, 64x smaller than the float32 vector) +
+    total quantization distortion.
 
-    Engine shape (100 TB): PQ encode is embarrassingly parallel — ONE
-    projection riding the scan (codebook is literal text, so not even
-    a broadcast), whole-stage codegen, zero shuffles, zero joins;
-    output is 1 row per vector and feeds ``write.partitionBy`` or the
-    posting-list layout directly.  A trained codebook swaps the
-    literals for a broadcast 1-row array (the sim_ann_ivf centroid
-    mechanism) without touching the plan shape.
+    Engine shape (100 TB): PQ encode is a broadcast-16-rows nested
+    join riding the scan + ONE vec_id-keyed aggregation — map-heavy,
+    embarrassingly parallel, output 1 row per vector feeding
+    ``write.partitionBy`` or a posting-list layout directly.
 
-    FULL value oracle, bitwise: both engines run the same literal SQL
-    text modulo the element accessor (see ``_pq_sql``)."""
+    FULL value oracle, bitwise: both engines run the same SQL text
+    modulo the element accessor (``_pq_prefix_sql``); argmin ties
+    break to the smaller cent_id by MIN over the equality CASE."""
     table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "p24_pq_embeddings"
     )
-    sql = _pq_sql(lambda i: f"element_at(embedding, {i})").replace(
+    sql = _pq_assign_sql(lambda i: f"element_at(embedding, {i})").replace(
+        "FROM embeddings", "FROM p24_pq_embeddings"
+    )
+    return spark.sql(sql)
+
+
+def _pq_adc_sql(el) -> str:
+    """ADC search text on top of ``_pq_prefix_sql``: per-query lookup
+    tables are the query's own pc rows pivoted wide (LUT[m][k] =
+    ||sub_m(q) - C[m][k]||², already computed for encoding);
+    approx_dist(q, x) = Σ_m LUT_q[m][code_m(x)] as eight CASE lookups
+    summed left-to-right; top-{_PQ_CAND} ADC candidates are then
+    re-ranked by EXACT squared L2 (64-term shared-text sum) and cut
+    to top-{_PQ_TOPK}."""
+    lut_cols = ", ".join(
+        f"MAX(CASE WHEN cent_id = {k} THEN d_{m} END) AS l_{m}_{k}"
+        for m in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    adist = " + ".join(
+        "(CASE x.code_{m} {whens} END)".format(
+            m=m,
+            whens=" ".join(
+                f"WHEN {k} THEN q.l_{m}_{k}" for k in range(_PQ_K)
+            ),
+        )
+        for m in range(_PQ_M)
+    )
+    exact = " + ".join(
+        f"(qv.e{i + 1} - xv.e{i + 1}) * (qv.e{i + 1} - xv.e{i + 1})"
+        for i in range(_PQ_DIM)
+    )
+    return f"""{_pq_prefix_sql(el)},
+qlut AS (
+  SELECT vec_id AS query_id, {lut_cols}
+  FROM pc WHERE vec_id < {_PQ_QUERIES} GROUP BY vec_id
+),
+pair AS (
+  SELECT q.query_id, x.vec_id, {adist} AS adist
+  FROM codes x CROSS JOIN qlut q
+  WHERE x.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS crn
+  FROM pair
+),
+rer AS (
+  SELECT c.query_id, c.vec_id, c.adist, ({exact}) AS exact_d2
+  FROM cand c
+  JOIN v qv ON qv.vec_id = c.query_id
+  JOIN v xv ON xv.vec_id = c.vec_id
+  WHERE c.crn <= {_PQ_CAND}
+),
+ranked AS (
+  SELECT query_id, vec_id, adist, exact_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, vec_id) AS rn
+  FROM rer
+)
+SELECT query_id, vec_id AS neighbor_id,
+       ROUND(exact_d2, 6) AS dist_sq,
+       ROUND(adist, 6) AS approx_dist,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rn
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_sql(lambda i: f"embedding[{i}]"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's search half: asymmetric distance computation with
+    exact re-rank — the standard production ANN read path.  Corpus
+    vectors are represented ONLY by their 8x4-bit PQ codes; each
+    query's lookup table (its exact squared distance to all 8x16
+    centroids) turns candidate scoring into eight 4-bit table lookups
+    per vector — O(M)=8 adds on a 4-byte code instead of O(D)=64
+    float ops on a 256-byte vector, the ~32x memory-bandwidth win
+    that fits billion-scale ANN in RAM.  The top-50 ADC candidates
+    are then re-ranked by exact squared L2 (only 50 full vectors
+    touched per query) and cut to top-5.
+
+    Engine shape (100 TB): the LUT side is 5 rows broadcast;
+    candidate scoring streams map-side through codegen CASE lookups;
+    the only wide shuffle is the per-query candidate window (Q-way
+    parallel in the query count); re-rank joins broadcast <=250
+    candidate ids back onto the vector scan.  This key deliberately
+    ADC-scans ALL codes — composing it under ``sim_ann_ivf``'s coarse
+    partition bound restricts the scan to probed posting lists (the
+    full IVF-PQ layout).
+
+    FULL value oracle, bitwise-portable (shared SQL text modulo the
+    element accessor); candidate-generation recall vs exact search is
+    measured in tests/test_pipeline24.py and SCALE_STRESS."""
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "p24_pq_embeddings"
+    )
+    sql = _pq_adc_sql(lambda i: f"element_at(embedding, {i})").replace(
         "FROM embeddings", "FROM p24_pq_embeddings"
     )
     return spark.sql(sql)

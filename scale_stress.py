@@ -227,7 +227,17 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             "join_interval_allen", "text_collocations_llr",
             # round-10: docs-driven calibration bins (row-local hash
             # score -> one 10-bin shuffle, pure streaming aggregation)
-            "ml_calibration_bins"]
+            "ml_calibration_bins",
+            # round-11: docs-driven exact substring dedup (map-side
+            # 50-shingle hashing, ONE content-hash shuffle, per-doc
+            # island window — duplicated-position volume scales with
+            # duplication rate, not corpus), embeddings-driven PQ
+            # encode (zero-shuffle projection; pure scan growth), and
+            # the AVI demux+temporal-dedup chain (corpus bounds at
+            # _VID_DOCS=150 synthetic videos at every SF by design —
+            # a flat ratio is constancy evidence, like phash_dedup)
+            "dedup_substring_exact", "sim_pq_codebook_assign",
+            "sim_pq_adc_topk", "mm_frame_sample_video"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
@@ -338,7 +348,10 @@ def ann_recall(spark) -> dict:
         # harness after every timing panel has already been paid for
         # (round-10 advice: a degenerate/shrunk embeddings fixture
         # would otherwise ZeroDivisionError here).
-        for key in ("sim_ann_ivf", "sim_ann_lsh_hand"):
+        # sim_pq_adc_topk ranks by exact L2 after the ADC candidate
+        # cut; the fixture embeddings are unit-norm, so L2 order ==
+        # cosine order and sim_cosine_topk is a valid exact baseline.
+        for key in ("sim_ann_ivf", "sim_ann_lsh_hand", "sim_pq_adc_topk"):
             approx = pairset(key, sf)
             out.setdefault(key, {})[label] = (
                 round(len(exact & approx) / len(exact), 4) if exact else None

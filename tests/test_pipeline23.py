@@ -146,17 +146,27 @@ def test_column_profile_matches_pandas(spark):
     assert rows["o_orderstatus"].min_s == min(pdf["o_orderstatus"])
     assert rows["o_orderpriority"].max_s == max(pdf["o_orderpriority"])
     assert rows["o_orderkey"].n_distinct == len(pdf)  # key uniqueness
+    # r10 ADVICE regression guards: numeric/date extremes are TRUE
+    # extremes, not lexicographic string extremes
+    assert rows["o_orderkey"].min_s == str(int(pdf["o_orderkey"].min()))
+    assert rows["o_orderkey"].max_s == str(int(pdf["o_orderkey"].max()))
+    assert rows["o_totalprice"].min_s == f"{float(pdf['o_totalprice'].min()):.2f}"
+    assert rows["o_totalprice"].max_s == f"{float(pdf['o_totalprice'].max()):.2f}"
+    assert rows["o_orderdate"].min_s == str(pdf["o_orderdate"].min())[:10]
 
 
-def test_column_profile_single_scan_single_expand(spark):
+def test_column_profile_two_scans_one_expand(spark):
     """The 6 exact COUNT(DISTINCT)s must compile to ONE Expand pass
-    over ONE scan of orders — six separate scans is the naive plan
-    this key exists to avoid."""
+    over ONE scan (six separate distinct jobs is the naive plan this
+    key exists to avoid); the plain rows/nulls/min-max aggregate is a
+    SECOND scan with no Expand — measured 2.6x cheaper than hauling
+    the plain aggregates through the x7 fan-out
+    (scripts/profile_cost_check.py, PLANS.md round-11)."""
     plan = (
         _df(spark, "dq_column_profile")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("orders.parquet") == 1, plan
-    assert plan.count("Expand") >= 1, plan
+    assert plan.count("orders.parquet") == 2, plan
+    assert plan.count("Expand") == 1, plan

@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 import s3spark.queries  # noqa: F401
-from s3spark.queries.pipeline24 import _SUB_L, _pq_cent
+from s3spark.queries.pipeline24 import _SUB_L
 from s3spark.registry import REGISTRY
 
 
@@ -80,11 +80,27 @@ def test_substring_dedup_run_arithmetic_on_fixture(spark, sf_dir):
             assert s2 > e1 + 1, f"doc {doc_id}: non-maximal runs {spans}"
 
 
+def _pq_codebook(spark, sf_dir):
+    """The deterministic sampled codebook: subvector m of each of the
+    first 16 vectors."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 16")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [
+        [[float(r.embedding[m * 8 + i]) for i in range(8)] for r in rows]
+        for m in range(8)
+    ]
+
+
 def test_pq_codes_match_bruteforce_argmin(spark, sf_dir):
     out = {
         r.vec_id: r
         for r in REGISTRY["sim_pq_codebook_assign"].fn(spark, sf_dir).collect()
     }
+    cb = _pq_codebook(spark, sf_dir)
     emb = {
         r.vec_id: list(r.embedding)
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -100,13 +116,48 @@ def test_pq_codes_match_bruteforce_argmin(spark, sf_dir):
             for k in range(16):
                 d = 0.0
                 for i in range(8):
-                    t = float(v[m * 8 + i]) - _pq_cent(m, k, i)
+                    t = float(v[m * 8 + i]) - cb[m][k][i]
                     d += t * t
                 dists.append(d)
             best = min(range(16), key=lambda k: (dists[k], k))
             assert getattr(row, f"code_{m}") == best, (vec_id, m)
             distortion += dists[best]
         assert abs(row.distortion - round(distortion, 6)) < 1e-9
+
+
+def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
+    """ADC top-50 + exact re-rank to top-5 must recover most of the
+    true top-5 (measured 0.76-0.8 mean across the three fixtures;
+    bound set below the floor so fixture regeneration noise does not
+    flake): mean recall >= 0.6, every query > 0."""
+    out = REGISTRY["sim_pq_adc_topk"].fn(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).collect()
+    }
+    recalls = []
+    for q in range(5):
+        vq = emb[q]
+        d2 = {
+            vid: sum((a - b) * (a - b) for a, b in zip(v, vq))
+            for vid, v in emb.items()
+            if vid != q
+        }
+        exact = {
+            vid
+            for vid, _ in sorted(d2.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        }
+        approx = {r.neighbor_id for r in out if r.query_id == q}
+        assert len(approx) == 5
+        recalls.append(len(exact & approx) / 5)
+        # re-rank means reported dist_sq is the EXACT distance
+        for r in out:
+            if r.query_id == q:
+                assert abs(r.dist_sq - round(d2[r.neighbor_id], 6)) < 1e-6
+    assert all(r > 0 for r in recalls), recalls
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
 def test_pq_codes_in_range_and_total(spark, sf_dir):
