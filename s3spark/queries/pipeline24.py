@@ -15,6 +15,10 @@ training-data pipeline (r10 verdict items 3 and 6).
   distance computation over the codes (8 table lookups per
   candidate) with exact re-rank of the top-50, recall-measured
   against exact search.
+- ``sim_ivfpq_search_e2e``: the composed production read path —
+  coarse-cluster probing (2 of 16 posting lists, ~12.6% of the
+  corpus) + ADC + exact re-rank; recall@5 0.92 at both fixture
+  scales.
 
 Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
 has no relational surface; extends SURVEY.md §2.3 sections G/H.
@@ -345,6 +349,135 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p24_pq_embeddings"
     )
     sql = _pq_adc_sql(lambda i: f"element_at(embedding, {i})").replace(
+        "FROM embeddings", "FROM p24_pq_embeddings"
+    )
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# sim_ivfpq_search_e2e
+# --------------------------------------------------------------------------
+
+_PQ_PROBES = 2
+
+
+def _ivfpq_sql(el) -> str:
+    """The full IVF-PQ read path in one query text (shared both
+    engines, see ``_pq_prefix_sql``): the SAME pc CTE powers all
+    three index structures — coarse assignment (full distance =
+    Σ_m d_m, summed left-to-right over the already-portable subspace
+    distances), PQ codes, and the query LUTs — then candidates come
+    ONLY from each query's {_PQ_PROBES} nearest coarse clusters, ADC
+    ranks them, and the top-{_PQ_CAND} re-rank exactly."""
+    dfull = " + ".join(f"d_{m}" for m in range(_PQ_M))
+    lut_cols = ", ".join(
+        f"MAX(CASE WHEN cent_id = {k} THEN d_{m} END) AS l_{m}_{k}"
+        for m in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    adist = " + ".join(
+        "(CASE x.code_{m} {whens} END)".format(
+            m=m,
+            whens=" ".join(
+                f"WHEN {k} THEN q.l_{m}_{k}" for k in range(_PQ_K)
+            ),
+        )
+        for m in range(_PQ_M)
+    )
+    exact = " + ".join(
+        f"(qv.e{i + 1} - xv.e{i + 1}) * (qv.e{i + 1} - xv.e{i + 1})"
+        for i in range(_PQ_DIM)
+    )
+    return f"""{_pq_prefix_sql(el)},
+cfull AS (SELECT vec_id, cent_id, ({dfull}) AS dfull FROM pc),
+cmin AS (SELECT vec_id, MIN(dfull) AS mnf FROM cfull GROUP BY vec_id),
+assigned AS (
+  SELECT f.vec_id,
+         MIN(CASE WHEN f.dfull = c.mnf THEN f.cent_id END) AS cluster_id
+  FROM cfull f JOIN cmin c ON c.vec_id = f.vec_id
+  GROUP BY f.vec_id
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS qc
+  FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dfull, cent_id) AS pr
+    FROM cfull WHERE vec_id < {_PQ_QUERIES}
+  ) r WHERE pr <= {_PQ_PROBES}
+),
+qlut AS (
+  SELECT vec_id AS query_id, {lut_cols}
+  FROM pc WHERE vec_id < {_PQ_QUERIES} GROUP BY vec_id
+),
+pair AS (
+  SELECT p.query_id, x.vec_id, {adist} AS adist
+  FROM probes p
+  JOIN assigned a ON a.cluster_id = p.qc
+  JOIN codes x ON x.vec_id = a.vec_id
+  JOIN qlut q ON q.query_id = p.query_id
+  WHERE x.vec_id <> p.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS crn
+  FROM pair
+),
+rer AS (
+  SELECT c.query_id, c.vec_id, c.adist, ({exact}) AS exact_d2
+  FROM cand c
+  JOIN v qv ON qv.vec_id = c.query_id
+  JOIN v xv ON xv.vec_id = c.vec_id
+  WHERE c.crn <= {_PQ_CAND}
+),
+ranked AS (
+  SELECT query_id, vec_id, adist, exact_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, vec_id) AS rn
+  FROM rer
+)
+SELECT query_id, vec_id AS neighbor_id,
+       ROUND(exact_d2, 6) AS dist_sq,
+       ROUND(adist, 6) AS approx_dist,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_PQ_TOPK}
+ORDER BY query_id, rn
+"""
+
+
+@register(
+    "sim_ivfpq_search_e2e",
+    oracle=_ivfpq_sql(lambda i: f"embedding[{i}]"),
+)
+def sim_ivfpq_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF-PQ ANN read path as one plan — coarse
+    quantizer (sim_ann_ivf's role) + PQ codes (sim_pq_codebook_assign)
+    + ADC scoring + exact re-rank (sim_pq_adc_topk), composed: each
+    query probes its 2 nearest coarse clusters and ADC-scans ONLY
+    those posting lists (~12.6% of the corpus on this fixture), then
+    re-ranks the top-50 exactly.  Measured recall@5 vs exhaustive
+    exact search: 0.92 at both fixture scales — better than the
+    unpruned ADC scan's 0.76 (the coarse partition removes ADC
+    impostors before the candidate cut) at an eighth of the scan.
+
+    Engine shape (100 TB): this key computes the index inline to keep
+    one auditable lineage; in production the ``assigned`` and
+    ``codes`` relations ARE the persisted index (built once by
+    sim_pq_codebook_assign's plan, partitioned BY cluster_id so a
+    probe reads exactly its posting-list partitions), and the read
+    path is: broadcast the per-query LUTs, bucket-join probes to
+    posting lists, codegen CASE lookups, bounded re-rank — no stage
+    scales with corpus size except the pruned posting-list scan.
+
+    FULL value oracle, bitwise-portable: coarse distances are the
+    left-associated sums of the SAME subspace distances the PQ steps
+    use, so one shared pc CTE powers every structure in both
+    engines."""
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "p24_pq_embeddings"
+    )
+    sql = _ivfpq_sql(lambda i: f"element_at(embedding, {i})").replace(
         "FROM embeddings", "FROM p24_pq_embeddings"
     )
     return spark.sql(sql)

@@ -237,7 +237,8 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # _VID_DOCS=150 synthetic videos at every SF by design —
             # a flat ratio is constancy evidence, like phash_dedup)
             "dedup_substring_exact", "sim_pq_codebook_assign",
-            "sim_pq_adc_topk", "mm_frame_sample_video"]
+            "sim_pq_adc_topk", "sim_ivfpq_search_e2e",
+            "mm_frame_sample_video"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
@@ -351,7 +352,12 @@ def ann_recall(spark) -> dict:
         # sim_pq_adc_topk ranks by exact L2 after the ADC candidate
         # cut; the fixture embeddings are unit-norm, so L2 order ==
         # cosine order and sim_cosine_topk is a valid exact baseline.
-        for key in ("sim_ann_ivf", "sim_ann_lsh_hand", "sim_pq_adc_topk"):
+        for key in (
+            "sim_ann_ivf",
+            "sim_ann_lsh_hand",
+            "sim_pq_adc_topk",
+            "sim_ivfpq_search_e2e",
+        ):
             approx = pairset(key, sf)
             out.setdefault(key, {})[label] = (
                 round(len(exact & approx) / len(exact), 4) if exact else None

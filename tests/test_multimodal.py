@@ -323,3 +323,25 @@ def test_video_temporal_dedup_keeps_scene_starts(spark, sf_dir):
     for doc_id, kept in by_doc.items():
         assert 0 in kept, f"doc {doc_id} lost its first frame"
         assert len(kept) == len(set(kept))
+
+
+def test_video_phash_dedup_finds_exactly_the_planted_program_pairs(
+    spark, sf_dir
+):
+    """Videos sharing a program are planted near-dups (max frame
+    hamming 2 by construction); cross-program frames share no exact
+    band.  The detector must return exactly the planted pair set."""
+    from s3spark.queries.multimodal import _VP_DOCS, _VP_PROGRAMS
+
+    rows = REGISTRY["mm_video_phash_dedup"].fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    planted = {
+        (a, b)
+        for a in range(_VP_DOCS)
+        for b in range(a + 1, _VP_DOCS)
+        if a % _VP_PROGRAMS == b % _VP_PROGRAMS
+    }
+    assert got == planted
+    for r in rows:
+        assert r.max_scene_hamming <= 2
+        assert r.n_scenes >= 3

