@@ -87,6 +87,7 @@ SORT_FREE_KEYS = SORT_FREE_KEYS + _R9_SORT_FREE_NEW
 # invariant from birth — these carry no DIRTY_SINCE entry).
 _R11_SORT_FREE_NEW: tuple = (
     "dedup_substring_exact",
+    "dedup_substring_mask",
     "sim_pq_codebook_assign",
 )
 

@@ -481,3 +481,128 @@ def sim_ivfpq_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM embeddings", "FROM p24_pq_embeddings"
     )
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_mask
+# --------------------------------------------------------------------------
+
+_MASK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         md5(array_to_string(toks[i:i+{_SUB_L - 1}], ' ')) AS h
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - {_SUB_L - 1})) AS i
+  ) g
+  WHERE len(toks) >= {_SUB_L}
+),
+marked AS (
+  SELECT doc_id, pos, n_tokens FROM (
+    SELECT doc_id, pos, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM sh
+  ) r WHERE rn >= 2
+),
+isl AS (
+  SELECT doc_id, pos, n_tokens,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SUB_L - 1}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM (
+    SELECT doc_id, pos, n_tokens,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM marked
+  ) lagged
+),
+spans AS (
+  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+         MAX(pos) - MIN(pos) + {_SUB_L} AS span_len
+  FROM isl GROUP BY doc_id, isl_id
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(span_len) AS BIGINT) AS n_dropped,
+       CAST(MAX(n_tokens) - SUM(span_len) AS BIGINT) AS n_kept
+FROM spans
+GROUP BY doc_id
+"""
+
+
+@register("dedup_substring_mask", oracle=_MASK_SQL)
+def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (``dedup_substring_exact``
+    is the report): every duplicated 50-token shingle keeps exactly
+    ONE canonical occurrence corpus-wide — the lexicographically
+    first (doc_id, pos) — and every other occurrence is drop-marked;
+    marked positions expand to their 50-token windows, overlapping
+    windows union into spans (same-length intervals overlap iff
+    positions differ by <= 49, so a lag-gap island merge is exact),
+    and the output is the per-doc token accounting (total, dropped,
+    kept) a corpus-cutting pass consumes.  Docs with nothing to drop
+    produce no row — output scales with duplication, not corpus.
+    A doc that is X+X keeps exactly one X (planted test).
+
+    Canonicality note: ranking occurrences per-hash (ROW_NUMBER over
+    doc_id, pos) subsumes the count>=2 filter — rank >= 2 IS "a
+    duplicate occurrence of a duplicated shingle" — so duplicate
+    marking costs ONE hash-keyed window, same shuffle key as the
+    detection key's count window.
+
+    Engine shape (100 TB): identical to dedup_substring_exact — one
+    content-hash shuffle (window), one doc_id shuffle (islands), no
+    joins, no driver state; the canonical choice is deterministic so
+    re-running on a grown corpus is stable for unchanged prefixes."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.filter(F.size(toks) >= _SUB_L)
+        .select(
+            F.col("doc_id"),
+            toks.alias("toks"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SUB_L - 1}),"
+                    " i -> named_struct('pos', CAST(i AS BIGINT),"
+                    f" 'h', md5(concat_ws(' ', slice(toks, i, {_SUB_L})))))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
+    marked = (
+        sh.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos", "n_tokens")
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = marked.withColumn("prev", F.lag("pos").over(w_d))
+    isl = lagged.withColumn(
+        "isl_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > (_SUB_L - 1)),
+                1,
+            ).otherwise(0)
+        ).over(w_d.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        (F.max("pos") - F.min("pos") + _SUB_L).alias("span_len"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("span_len").cast("long").alias("n_dropped"),
+        (F.max("n_tokens") - F.sum("span_len")).cast("long").alias("n_kept"),
+    )

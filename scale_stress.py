@@ -236,7 +236,8 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             # the AVI demux+temporal-dedup chain (corpus bounds at
             # _VID_DOCS=150 synthetic videos at every SF by design —
             # a flat ratio is constancy evidence, like phash_dedup)
-            "dedup_substring_exact", "sim_pq_codebook_assign",
+            "dedup_substring_exact", "dedup_substring_mask",
+            "sim_pq_codebook_assign",
             "sim_pq_adc_topk", "sim_ivfpq_search_e2e",
             "mm_frame_sample_video"]
 DOC_SMALL = "/root/testdata/sf0.01"

@@ -204,3 +204,39 @@ def test_ivfpq_e2e_recall_and_pruning_consistency(spark, sf_dir):
                 # re-ranked distances are exact
                 assert abs(r.dist_sq - round(d2[r.neighbor_id], 6)) < 1e-6
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_substring_mask_keeps_canonical_occurrence(spark, planted_sub_dir):
+    """The apply step: doc 0 owns the canonical copy of the shared
+    run (lexicographically first) so only doc 1 is cut; doc 2 = X+X
+    keeps exactly one X; unique and sub-floor docs emit no row."""
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dropped, r.n_kept)
+        for r in REGISTRY["dedup_substring_mask"]
+        .fn(spark, planted_sub_dir)
+        .collect()
+    }
+    # doc 1: 90 tokens, the 60-token shared run dropped -> 30 kept
+    assert out[1] == (90, 60, 30)
+    # doc 2: X+X (110 tokens), second X (55) dropped -> one X kept
+    assert out[2] == (110, 55, 55)
+    assert set(out) == {1, 2}
+
+
+def test_substring_mask_consistent_with_detection(spark, sf_dir):
+    """Every masked doc must appear in the detection report, and its
+    dropped token count can never exceed the doc's total duplicated
+    coverage reported there."""
+    mask = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_substring_mask"].fn(spark, sf_dir).collect()
+    }
+    runs: dict = {}
+    for r in REGISTRY["dedup_substring_exact"].fn(spark, sf_dir).collect():
+        runs.setdefault(r.doc_id, 0)
+        runs[r.doc_id] += r.dup_len_tokens
+    assert mask, "fixture corpus has planted dups"
+    for doc_id, row in mask.items():
+        assert doc_id in runs, f"masked doc {doc_id} not in detection"
+        assert 0 < row.n_dropped <= runs[doc_id]
+        assert row.n_kept == row.n_tokens - row.n_dropped >= 0
