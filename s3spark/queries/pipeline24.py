@@ -1,6 +1,8 @@
-"""Round-11 extension batch: exact substring dedup and
-product-quantization encoding — the two remaining classics of a
-training-data pipeline (r10 verdict items 3 and 6).
+"""Round-11 extension batch: exact substring dedup (detect + apply),
+the product-quantization ANN stack (encode, ADC search, composed
+IVF-PQ read path), and multiple-testing FDR control — the remaining
+classics of a training-data pipeline (r10 verdict items 3 and 6 plus
+their natural completions).
 
 - ``dedup_substring_exact``: every maximal duplicated token run of
   length >= 50 across the corpus (the public ExactSubstr technique,
@@ -19,6 +21,12 @@ training-data pipeline (r10 verdict items 3 and 6).
   coarse-cluster probing (2 of 16 posting lists, ~12.6% of the
   corpus) + ADC + exact re-rank; recall@5 0.92 at both fixture
   scales.
+- ``dedup_substring_mask``: the ExactSubstr APPLY step — keep one
+  canonical occurrence per duplicated shingle corpus-wide, cut the
+  rest, report per-doc token accounting.
+- ``stats_benjamini_hochberg``: step-up FDR control over the 25
+  per-brand mean screens — the multiple-testing closer of the
+  measurement family.
 
 Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
 has no relational surface; extends SURVEY.md §2.3 sections G/H.
@@ -606,3 +614,120 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_len").cast("long").alias("n_dropped"),
         (F.max("n_tokens") - F.sum("span_len")).cast("long").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_benjamini_hochberg
+# --------------------------------------------------------------------------
+
+# Two-sided normal-tail p via the Abramowitz & Stegun 7.1.26 erf
+# polynomial (max abs error 1.5e-7) — written once and shared by both
+# engines so the arithmetic is the same closed form on both sides.
+# exp() is the one libm call (JVM vs DuckDB may differ in the last
+# ulp); outputs are rounded to 6 dp and the BH comparisons sit far
+# from any threshold on real data, so ulp drift cannot flip a
+# verdict that the 6-dp oracle would see.
+_BH_ALPHA = 0.05
+
+
+def _bh_p_sql(zcol: str) -> str:
+    x = f"(abs({zcol}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(0.254829592 * {t} - 0.284496736 * ({t} * {t})"
+        f" + 1.421413741 * ({t} * {t} * {t})"
+        f" - 1.453152027 * ({t} * {t} * {t} * {t})"
+        f" + 1.061405429 * ({t} * {t} * {t} * {t} * {t}))"
+    )
+    return f"({poly} * exp(-({x} * {x})))"  # = erfc(x) = two-sided p
+
+
+def _bh_sql(lineitem: str, part: str) -> str:
+    z = (
+        "CASE WHEN vr <= 0.0 OR nb <= 0 THEN NULL"
+        " ELSE (CAST(sb AS DOUBLE) / nb - mu) / sqrt(vr / nb) END"
+    )
+    return f"""
+WITH x AS (
+  SELECT p_brand AS brand,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS q
+  FROM x
+),
+b AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb
+  FROM x GROUP BY brand
+),
+zt AS (
+  SELECT brand, nb,
+         {z.replace("mu", "(CAST(s AS DOUBLE) / n)").replace(
+             "vr",
+             "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+             " * (CAST(s AS DOUBLE) / n)) / n)",
+         )} AS zv
+  FROM b CROSS JOIN g
+),
+pt AS (
+  SELECT brand, nb, zv,
+         CASE WHEN zv IS NULL THEN NULL ELSE {_bh_p_sql("zv")} END AS pv
+  FROM zt
+),
+r AS (
+  SELECT brand, nb, zv, pv,
+         ROW_NUMBER() OVER (ORDER BY pv ASC NULLS LAST, brand) AS rk,
+         CAST(COUNT(pv) OVER () AS BIGINT) AS m
+  FROM pt
+),
+qv AS (
+  SELECT brand, nb, zv, pv, rk, m,
+         MIN(pv * m / rk) OVER (ORDER BY rk DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qraw
+  FROM r
+)
+SELECT brand, CAST(nb AS BIGINT) AS n_obs,
+       ROUND(zv, 6) AS z, ROUND(pv, 6) AS p_value,
+       CAST(rk AS BIGINT) AS p_rank,
+       ROUND(CASE WHEN qraw > 1.0 THEN 1.0 ELSE qraw END, 6) AS q_value,
+       CAST(CASE WHEN qraw IS NULL THEN NULL
+                 WHEN qraw <= {_BH_ALPHA} THEN 1 ELSE 0 END
+            AS BIGINT) AS discovery
+FROM qv
+ORDER BY p_rank
+"""
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=_bh_sql("lineitem", "part"),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control — the missing closer of the
+    measurement family: one z-screen per part brand (does the brand's
+    mean extended price differ from the corpus mean?), then
+    Benjamini-Hochberg step-up FDR across all 25 tests (p-rank,
+    q-value = running min of p·m/i from the worst rank, discovery at
+    q <= {_BH_ALPHA}).  Without FDR control a 25-way screen at
+    alpha=0.05 false-positives ~1.2 brands per run by chance — this
+    is the key every metrics dashboard quietly needs.
+
+    Exactness: per-brand moments are exact decimal(38,0) cent sums
+    (the stats_anova_oneway recipe); z and the A&S 7.1.26 erfc
+    polynomial are one shared closed-form text on both engines; BH
+    itself (rank, step-up cummin) is exact given p.  Zero-variance or
+    empty cohorts yield NULL z/p and rank NULLS LAST (spelled
+    explicitly — Spark defaults NULLS FIRST on ASC, DuckDB LAST).
+
+    Engine shape (100 TB): one fact scan (lineitem ⋈ broadcast part)
+    → 25-row partial+final moment agg + 1-row global fold → ALL
+    downstream windows run on the bounded 25-row test table (m = test
+    count, never data size).  The multiple-testing machinery is free;
+    only the moment scan grows."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("p24_bh_l")
+    table(spark, sf_dir, "part").createOrReplaceTempView("p24_bh_p")
+    return spark.sql(_bh_sql("p24_bh_l", "p24_bh_p"))

@@ -240,3 +240,83 @@ def test_substring_mask_consistent_with_detection(spark, sf_dir):
         assert doc_id in runs, f"masked doc {doc_id} not in detection"
         assert 0 < row.n_dropped <= runs[doc_id]
         assert row.n_kept == row.n_tokens - row.n_dropped >= 0
+
+
+@pytest.fixture(scope="module")
+def planted_bh_dir(tmp_path_factory):
+    """lineitem/part fixture with one strongly shifted brand: B_hot's
+    prices sit ~10 sigma above the pooled mean, so BH must flag it at
+    rank 1.  (The two base brands also deviate from the grand mean
+    B_hot drags up — the screen is vs the pooled mean — so the test
+    asserts B_hot's verdict and ordering, not exclusivity.)"""
+    d = tmp_path_factory.mktemp("planted_bh")
+    parts, lines = [], []
+    pk = 0
+    for brand, base in (("B_hot", 5000.0), ("B_a", 100.0), ("B_b", 100.0)):
+        for j in range(60):
+            pk += 1
+            parts.append({"p_partkey": pk, "p_brand": brand,
+                          "p_name": f"p{pk}", "p_type": "t",
+                          "p_size": 1, "p_retailprice": base})
+            lines.append({"l_orderkey": pk, "l_partkey": pk,
+                          "l_linenumber": 1, "l_quantity": 1.0,
+                          "l_extendedprice": base + (j % 7),
+                          "l_discount": 0.0, "l_tax": 0.0,
+                          "l_returnflag": "N", "l_linestatus": "O",
+                          "l_shipdate": "1995-01-01",
+                          "l_suppkey": 1})
+    pd.DataFrame(parts).to_parquet(d / "part.parquet")
+    pd.DataFrame(lines).to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_bh_flags_only_the_planted_shifted_brand(spark, planted_bh_dir):
+    rows = {
+        r.brand: r
+        for r in REGISTRY["stats_benjamini_hochberg"]
+        .fn(spark, planted_bh_dir)
+        .collect()
+    }
+    assert rows["B_hot"].discovery == 1
+    assert rows["B_hot"].p_rank == 1
+    # the two null brands differ from the grand mean (which B_hot
+    # drags up) — but symmetric: both get the SAME verdict, and
+    # B_hot's q is the smallest
+    assert rows["B_hot"].q_value <= rows["B_a"].q_value
+    assert rows["B_hot"].q_value <= rows["B_b"].q_value
+
+
+def test_bh_qvalue_mechanics_on_fixture(spark, sf_dir):
+    """q-values are the step-up cummin (monotone non-decreasing in
+    p-rank), discoveries are exactly the q<=alpha prefix, and the
+    reported p matches the A&S erfc polynomial of the reported z."""
+    import math
+
+    rows = sorted(
+        REGISTRY["stats_benjamini_hochberg"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.p_rank,
+    )
+    assert len(rows) == 25
+    m = len([r for r in rows if r.p_value is not None])
+
+    def erfc_as(x):
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            0.254829592 * t
+            - 0.284496736 * (t * t)
+            + 1.421413741 * (t * t * t)
+            - 1.453152027 * (t * t * t * t)
+            + 1.061405429 * (t * t * t * t * t)
+        )
+        return poly * math.exp(-(x * x))
+
+    for a, b in zip(rows, rows[1:]):
+        if a.q_value is not None and b.q_value is not None:
+            assert a.q_value <= b.q_value + 1e-9
+            assert a.p_value <= b.p_value + 1e-9
+    for r in rows:
+        if r.p_value is None:
+            continue
+        assert abs(erfc_as(abs(r.z) / math.sqrt(2.0)) - r.p_value) < 1e-4
+        assert r.discovery == (1 if r.q_value <= 0.05 else 0)
+        assert 0.0 <= r.q_value <= 1.0
