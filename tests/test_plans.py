@@ -378,6 +378,12 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "sim_cosine_topk",
         "sim_knn_classify",
         "text_edit_distance",
+        # round-11: constant-size build sides by construction
+        "dq_column_profile",  # two 1-row aggregates joined ON true
+        "sim_pq_codebook_assign",  # 16-row codebook cross (ivf pattern)
+        "sim_pq_adc_topk",  # 16-row codebook + 5-row query-LUT crosses
+        "sim_ivfpq_search_e2e",  # same bounded crosses as adc_topk
+        "stats_benjamini_hochberg",  # 1-row global-moments cross join
         "text_unigram_logprob",
         "timeseries_gapfill",
         "timeseries_interpolate_linear",  # same user×day spine as gapfill
