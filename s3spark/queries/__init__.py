@@ -92,6 +92,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline22,
     pipeline23,
     pipeline24,
+    pipeline25,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

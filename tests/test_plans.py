@@ -384,6 +384,8 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "sim_pq_adc_topk",  # 16-row codebook + 5-row query-LUT crosses
         "sim_ivfpq_search_e2e",  # same bounded crosses as adc_topk
         "stats_benjamini_hochberg",  # 1-row global-moments cross join
+        "sim_matryoshka_recall_eval",  # 5-row query side per k-block
+        "sample_stratified_neyman",  # 1-row denom + 5-row alloc crosses
         "text_unigram_logprob",
         "timeseries_gapfill",
         "timeseries_interpolate_linear",  # same user×day spine as gapfill
