@@ -99,12 +99,28 @@ def _jvm_fs(spark: SparkSession, url: str):
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
     except Exception as e:  # Py4JJavaError carries the JVM message
         raise classify_fs_error(e) from e
+    _disable_checksums(fs)
+    return fs
+
+
+def _disable_checksums(fs) -> None:
+    """Turn off .crc sidecars on a Hadoop FileSystem handle.
+
+    Some FileSystem impls reject the checksum setters
+    (UnsupportedOperation) — that is tolerable and ignored.  But a
+    filesystem that authenticates lazily may surface its credential
+    failure HERE, and silence would misreport exit 202 as a generic
+    downstream error: classify first, swallow only the non-auth case.
+    """
+    from s3spark.errors import S3InvalidCredentials
+
     try:
         fs.setWriteChecksum(False)
         fs.setVerifyChecksum(False)
-    except Exception:
-        pass
-    return fs
+    except Exception as e:
+        classified = classify_fs_error(e)
+        if isinstance(classified, S3InvalidCredentials):
+            raise classified from e
 
 
 def _jpath(spark: SparkSession, url: str):

@@ -188,4 +188,10 @@ DIRTY_SINCE: dict = {
     # _e2e_clean/_e2e_survivors for the survivors-equivalence test;
     # plan and values unchanged, code moved.
     "curation_pipeline_e2e": 11,
+    # Round 12 (ADVICE): n_matched now counts only band-matched aligned
+    # scenes (was COUNT(*), vacuously equal to n_scenes for equal-count
+    # pairs), enforcing the documented per-scene band-match semantics in
+    # both engine and oracle.  Fixture output unchanged (planted pairs
+    # differ <=2 bits/scene, so >=2 of 4 bands always match).
+    "mm_video_phash_dedup": 12,
 }

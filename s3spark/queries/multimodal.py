@@ -1138,6 +1138,8 @@ def _decode_avi(data: bytes) -> tuple[int, int, list[bytearray]]:
             if tag == b"LIST":
                 parse_list(start + 4, body_end)
             elif tag == b"avih":
+                if size < 56:
+                    raise ValueError("truncated avih header")
                 vals = struct.unpack("<14I", data[start : start + 56])
                 n_frames, width, height = vals[4], vals[8], vals[9]
             elif tag == b"strh":
@@ -1146,6 +1148,8 @@ def _decode_avi(data: bytes) -> tuple[int, int, list[bytearray]]:
                         raise ValueError("unsupported video codec")
                     saw_vids = True
             elif tag == b"strf" and saw_vids and bit_count is None:
+                if size < 20:
+                    raise ValueError("truncated strf header")
                 (_sz, _w, _h, _pl, bc, comp) = struct.unpack(
                     "<IiiHHI", data[start : start + 20]
                 )
@@ -1434,7 +1438,10 @@ cand AS (
    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
 ),
 scored AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_matched,
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.b0 = sb.b0 OR sa.b1 = sb.b1
+                        OR sa.b2 = sb.b2 OR sa.b3 = sb.b3
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
          CAST(MAX(bit_count(xor(sa.b0, sb.b0))
                 + bit_count(xor(sa.b1, sb.b1))
                 + bit_count(xor(sa.b2, sb.b2))
@@ -1466,8 +1473,10 @@ def mm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed (scene index, band, value) — temporal alignment IS the
     blocking key, so two videos meet only where some scene shares an
     exact 16-bit band; a pair is a near-duplicate iff the videos have
-    the SAME scene count, EVERY aligned scene pair matched, and the
-    worst aligned-frame Hamming distance is <= {_VP_HAM} (of 64).
+    the SAME scene count, EVERY aligned scene pair shares at least one
+    exact 16-bit band (enforced: n_matched counts only band-matched
+    aligned scenes), and the worst aligned-frame Hamming distance is
+    <= {_VP_HAM} (of 64).
 
     FULL value oracle: the program/noise pixel arithmetic replays in
     DuckDB, so demux, per-frame banding, alignment, and the Hamming
@@ -1531,6 +1540,17 @@ def mm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1)")
         + F.expr("bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3)")
     ).cast("long")
+    scene_band_match = (
+        F.when(
+            (F.col("sa.b0") == F.col("sb.b0"))
+            | (F.col("sa.b1") == F.col("sb.b1"))
+            | (F.col("sa.b2") == F.col("sb.b2"))
+            | (F.col("sa.b3") == F.col("sb.b3")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     scored = (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(
@@ -1540,7 +1560,7 @@ def mm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(scene_band_match).alias("n_matched"),
             F.max(ham).alias("max_scene_hamming"),
         )
     )

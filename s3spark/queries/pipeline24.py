@@ -163,7 +163,39 @@ _PQ_TOPK = 5
 _PQ_DIM = _PQ_M * _PQ_SUB
 
 
-def _pq_prefix_sql(el) -> str:
+def _pq_parts(el) -> tuple:
+    """The three generated fragments every PQ text builds from: the
+    float64 element projection, the codebook projection, and the 8
+    per-subspace squared-distance expressions."""
+    els = ", ".join(
+        f"CAST({el(i + 1)} AS DOUBLE) AS e{i + 1}" for i in range(_PQ_DIM)
+    )
+    c_els = ", ".join(f"e{i + 1} AS c{i + 1}" for i in range(_PQ_DIM))
+    d_cols = []
+    for m in range(_PQ_M):
+        terms = []
+        for i in range(_PQ_SUB):
+            idx = m * _PQ_SUB + i + 1
+            terms.append(f"(v.e{idx} - cb.c{idx}) * (v.e{idx} - cb.c{idx})")
+        d_cols.append(f"({' + '.join(terms)}) AS d_{m}")
+    return els, c_els, d_cols
+
+
+def _pq_pc_standalone_sql(el) -> str:
+    """The pc relation alone — (vector, centroid) pairs with the 8
+    per-subspace squared distances — as a self-contained query, so the
+    Spark path can materialize it ONCE (localCheckpoint + temp view)
+    and feed every consumer CTE through the stored doubles instead of
+    letting the planner inline the cross join per consumer."""
+    els, c_els, d_cols = _pq_parts(el)
+    return f"""
+WITH v AS (SELECT vec_id, {els} FROM embeddings),
+cb AS (SELECT vec_id AS cent_id, {c_els} FROM v WHERE vec_id < {_PQ_K})
+SELECT v.vec_id, cb.cent_id, {", ".join(d_cols)}
+FROM v CROSS JOIN cb"""
+
+
+def _pq_prefix_sql(el, pc_source: str | None = None) -> str:
     """Shared CTE prefix for the PQ keys (both engines, differing
     ONLY in the element accessor ``el(idx) -> str``, 1-based):
 
@@ -183,18 +215,14 @@ def _pq_prefix_sql(el) -> str:
     8-term sum over exact float64 inputs (float32 upcast), so both
     engines execute the identical IEEE op sequence — equality in the
     argmin CASE and the MIN fold compare identical doubles, never
-    "close" ones."""
-    els = ", ".join(
-        f"CAST({el(i + 1)} AS DOUBLE) AS e{i + 1}" for i in range(_PQ_DIM)
-    )
-    c_els = ", ".join(f"e{i + 1} AS c{i + 1}" for i in range(_PQ_DIM))
-    d_cols = []
-    for m in range(_PQ_M):
-        terms = []
-        for i in range(_PQ_SUB):
-            idx = m * _PQ_SUB + i + 1
-            terms.append(f"(v.e{idx} - cb.c{idx}) * (v.e{idx} - cb.c{idx})")
-        d_cols.append(f"({' + '.join(terms)}) AS d_{m}")
+    "close" ones.
+
+    ``pc_source`` (Spark-only): name of a temp view holding the
+    ALREADY-MATERIALIZED pc relation; the pc CTE then reads the stored
+    doubles instead of re-deriving the cross join in every consumer
+    (values identical by construction — the view holds the exact
+    doubles the inline form computes)."""
+    els, c_els, d_cols = _pq_parts(el)
     mins = ", ".join(
         f"MIN(d_{m}) AS mn_{m}" for m in range(_PQ_M)
     )
@@ -202,13 +230,18 @@ def _pq_prefix_sql(el) -> str:
         f"MIN(CASE WHEN p.d_{m} = m.mn_{m} THEN p.cent_id END) AS code_{m}"
         for m in range(_PQ_M)
     )
+    pc_body = (
+        f"SELECT * FROM {pc_source}"
+        if pc_source
+        else f"""
+  SELECT v.vec_id, cb.cent_id, {", ".join(d_cols)}
+  FROM v CROSS JOIN cb
+"""
+    )
     return f"""
 WITH v AS (SELECT vec_id, {els} FROM embeddings),
 cb AS (SELECT vec_id AS cent_id, {c_els} FROM v WHERE vec_id < {_PQ_K}),
-pc AS (
-  SELECT v.vec_id, cb.cent_id, {", ".join(d_cols)}
-  FROM v CROSS JOIN cb
-),
+pc AS ({pc_body}),
 mins AS (SELECT vec_id, {mins} FROM pc GROUP BY vec_id),
 codes AS (
   SELECT p.vec_id, {codes}
@@ -369,7 +402,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_PROBES = 2
 
 
-def _ivfpq_sql(el) -> str:
+def _ivfpq_sql(el, pc_source: str | None = None) -> str:
     """The full IVF-PQ read path in one query text (shared both
     engines, see ``_pq_prefix_sql``): the SAME pc CTE powers all
     three index structures — coarse assignment (full distance =
@@ -396,23 +429,18 @@ def _ivfpq_sql(el) -> str:
         f"(qv.e{i + 1} - xv.e{i + 1}) * (qv.e{i + 1} - xv.e{i + 1})"
         for i in range(_PQ_DIM)
     )
-    return f"""{_pq_prefix_sql(el)},
+    return f"""{_pq_prefix_sql(el, pc_source)},
 cfull AS (SELECT vec_id, cent_id, ({dfull}) AS dfull FROM pc),
-cmin AS (SELECT vec_id, MIN(dfull) AS mnf FROM cfull GROUP BY vec_id),
-assigned AS (
-  SELECT f.vec_id,
-         MIN(CASE WHEN f.dfull = c.mnf THEN f.cent_id END) AS cluster_id
-  FROM cfull f JOIN cmin c ON c.vec_id = f.vec_id
-  GROUP BY f.vec_id
+crank AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dfull, cent_id) AS pr
+  FROM cfull
 ),
+assigned AS (SELECT vec_id, cent_id AS cluster_id FROM crank WHERE pr = 1),
 probes AS (
   SELECT vec_id AS query_id, cent_id AS qc
-  FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dfull, cent_id) AS pr
-    FROM cfull WHERE vec_id < {_PQ_QUERIES}
-  ) r WHERE pr <= {_PQ_PROBES}
+  FROM crank WHERE pr <= {_PQ_PROBES} AND vec_id < {_PQ_QUERIES}
 ),
 qlut AS (
   SELECT vec_id AS query_id, {lut_cols}
@@ -473,19 +501,43 @@ def sim_ivfpq_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     one auditable lineage; in production the ``assigned`` and
     ``codes`` relations ARE the persisted index (built once by
     sim_pq_codebook_assign's plan, partitioned BY cluster_id so a
-    probe reads exactly its posting-list partitions), and the read
+    probe reads exactly its posting-list partitions — see
+    ``sim_ivfpq_persisted_read`` for exactly that key), and the read
     path is: broadcast the per-query LUTs, bucket-join probes to
     posting lists, codegen CASE lookups, bounded re-rank — no stage
     scales with corpus size except the pruned posting-list scan.
+
+    The pc relation (vector × centroid subspace distances) feeds
+    THREE consumers (coarse distances, PQ codes, query LUTs); Spark
+    inlines CTEs, so the inline form recomputes the cross join per
+    consumer.  The Spark path therefore materializes pc ONCE
+    (localCheckpoint → temp view) and feeds the identical stored
+    doubles through the rest of the shared text — round-12 VERDICT
+    item 2; values unchanged by construction, ~3× less work.
 
     FULL value oracle, bitwise-portable: coarse distances are the
     left-associated sums of the SAME subspace distances the PQ steps
     use, so one shared pc CTE powers every structure in both
     engines."""
+    el = lambda i: f"element_at(embedding, {i})"  # noqa: E731
     table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "p24_pq_embeddings"
     )
-    sql = _ivfpq_sql(lambda i: f"element_at(embedding, {i})").replace(
+    pc = (
+        spark.sql(
+            _pq_pc_standalone_sql(el).replace(
+                "FROM embeddings", "FROM p24_pq_embeddings"
+            )
+        )
+        # hash-distribute by vec_id before checkpointing: the parquet
+        # scan is one split at fixture scale, and every consumer
+        # (window rank, mins/codes aggregations) keys on vec_id — the
+        # stored layout feeds them in parallel instead of 1 partition
+        .repartition(8, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pc.createOrReplaceTempView("p24_ivfpq_pc")
+    sql = _ivfpq_sql(el, pc_source="p24_ivfpq_pc").replace(
         "FROM embeddings", "FROM p24_pq_embeddings"
     )
     return spark.sql(sql)

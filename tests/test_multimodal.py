@@ -305,6 +305,34 @@ def test_avi_decoder_rejects_corruption():
         _decode_avi(truncated)
 
 
+def test_avi_decoder_undersized_headers_raise_valueerror():
+    """Round-12 ADVICE: an avih/strf chunk shorter than its fixed
+    header struct must honor the documented ValueError contract, not
+    leak struct.error from the unpack."""
+    import struct as _st
+
+    from s3spark.queries.multimodal import _decode_avi, _encode_avi
+
+    good = _encode_avi(5)
+
+    def shrink(tag: bytes) -> bytes:
+        at = good.index(tag)
+        (size,) = _st.unpack("<I", good[at + 4 : at + 8])
+        short = 8  # fewer bytes than either header struct needs
+        body = good[at + 8 : at + 8 + short]
+        cut = good[: at + 4] + _st.pack("<I", short) + body + good[
+            at + 8 + size + (size % 2) :
+        ]
+        # outer RIFF size now overstates the payload; the walk guard
+        # catches that as ValueError too — either path satisfies the
+        # contract, but neither may raise struct.error
+        return cut
+
+    for tag in (b"avih", b"strf"):
+        with pytest.raises(ValueError):
+            _decode_avi(shrink(tag))
+
+
 def test_video_temporal_dedup_keeps_scene_starts(spark, sf_dir):
     """Frames inside a scene are byte-identical, so the lag-window
     dedup must (a) always keep frame 0, (b) never keep a mid-scene
