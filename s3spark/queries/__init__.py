@@ -93,6 +93,7 @@ from s3spark.queries import (  # noqa: F401
     pipeline23,
     pipeline24,
     pipeline25,
+    pipeline26,
 )
 
 from s3spark.queries._audit import DIRTY_SINCE  # noqa: E402

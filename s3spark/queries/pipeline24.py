@@ -294,20 +294,23 @@ def sim_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
-def _pq_adc_sql(el) -> str:
-    """ADC search text on top of ``_pq_prefix_sql``: per-query lookup
-    tables are the query's own pc rows pivoted wide (LUT[m][k] =
-    ||sub_m(q) - C[m][k]||², already computed for encoding);
-    approx_dist(q, x) = Σ_m LUT_q[m][code_m(x)] as eight CASE lookups
-    summed left-to-right; top-{_PQ_CAND} ADC candidates are then
-    re-ranked by EXACT squared L2 (64-term shared-text sum) and cut
-    to top-{_PQ_TOPK}."""
-    lut_cols = ", ".join(
+def _pq_lut_cols() -> str:
+    """Pivot of a query's pc rows into the 8x16 wide LUT columns —
+    one fragment shared by ADC, the composed e2e path, and the
+    persisted-index read path (pipeline26) so all three carry
+    byte-identical arithmetic text."""
+    return ", ".join(
         f"MAX(CASE WHEN cent_id = {k} THEN d_{m} END) AS l_{m}_{k}"
         for m in range(_PQ_M)
         for k in range(_PQ_K)
     )
-    adist = " + ".join(
+
+
+def _pq_adist() -> str:
+    """approx_dist(q, x) = Σ_m LUT_q[m][code_m(x)] as eight CASE
+    lookups summed left-to-right, over aliases ``x`` (codes) and
+    ``q`` (LUT row) — shared fragment (see ``_pq_lut_cols``)."""
+    return " + ".join(
         "(CASE x.code_{m} {whens} END)".format(
             m=m,
             whens=" ".join(
@@ -316,21 +319,32 @@ def _pq_adc_sql(el) -> str:
         )
         for m in range(_PQ_M)
     )
-    exact = " + ".join(
+
+
+def _pq_exact() -> str:
+    """Exact squared-L2 as the explicit left-associated 64-term sum
+    over aliases ``qv`` / ``xv`` — shared fragment."""
+    return " + ".join(
         f"(qv.e{i + 1} - xv.e{i + 1}) * (qv.e{i + 1} - xv.e{i + 1})"
         for i in range(_PQ_DIM)
     )
-    return f"""{_pq_prefix_sql(el)},
-qlut AS (
-  SELECT vec_id AS query_id, {lut_cols}
-  FROM pc WHERE vec_id < {_PQ_QUERIES} GROUP BY vec_id
-),
-pair AS (
-  SELECT q.query_id, x.vec_id, {adist} AS adist
-  FROM codes x CROSS JOIN qlut q
-  WHERE x.vec_id <> q.query_id
-),
-cand AS (
+
+
+def _pq_dfull() -> str:
+    """Full (coarse) squared distance = Σ_m d_m, summed
+    left-to-right over the pc subspace distances."""
+    return " + ".join(f"d_{m}" for m in range(_PQ_M))
+
+
+def _pq_rerank_tail() -> str:
+    """The candidate-cut / exact-re-rank / top-k tail every PQ search
+    text ends with, picking up from a ``pair(query_id, vec_id,
+    adist)`` CTE and a float64 ``v`` relation: ADC window to
+    top-{_PQ_CAND}, exact squared-L2 re-rank, top-{_PQ_TOPK} cut —
+    shared verbatim by ADC, the composed e2e path, and the
+    persisted-index read path."""
+    exact = _pq_exact()
+    return f"""cand AS (
   SELECT query_id, vec_id, adist,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY adist, vec_id) AS crn
@@ -356,6 +370,29 @@ SELECT query_id, vec_id AS neighbor_id,
 FROM ranked WHERE rn <= {_PQ_TOPK}
 ORDER BY query_id, rn
 """
+
+
+def _pq_adc_sql(el) -> str:
+    """ADC search text on top of ``_pq_prefix_sql``: per-query lookup
+    tables are the query's own pc rows pivoted wide (LUT[m][k] =
+    ||sub_m(q) - C[m][k]||², already computed for encoding);
+    approx_dist(q, x) = Σ_m LUT_q[m][code_m(x)] as eight CASE lookups
+    summed left-to-right; top-{_PQ_CAND} ADC candidates are then
+    re-ranked by EXACT squared L2 (64-term shared-text sum) and cut
+    to top-{_PQ_TOPK}."""
+    lut_cols = _pq_lut_cols()
+    adist = _pq_adist()
+    return f"""{_pq_prefix_sql(el)},
+qlut AS (
+  SELECT vec_id AS query_id, {lut_cols}
+  FROM pc WHERE vec_id < {_PQ_QUERIES} GROUP BY vec_id
+),
+pair AS (
+  SELECT q.query_id, x.vec_id, {adist} AS adist
+  FROM codes x CROSS JOIN qlut q
+  WHERE x.vec_id <> q.query_id
+),
+{_pq_rerank_tail()}"""
 
 
 @register(
@@ -410,25 +447,9 @@ def _ivfpq_sql(el, pc_source: str | None = None) -> str:
     distances), PQ codes, and the query LUTs — then candidates come
     ONLY from each query's {_PQ_PROBES} nearest coarse clusters, ADC
     ranks them, and the top-{_PQ_CAND} re-rank exactly."""
-    dfull = " + ".join(f"d_{m}" for m in range(_PQ_M))
-    lut_cols = ", ".join(
-        f"MAX(CASE WHEN cent_id = {k} THEN d_{m} END) AS l_{m}_{k}"
-        for m in range(_PQ_M)
-        for k in range(_PQ_K)
-    )
-    adist = " + ".join(
-        "(CASE x.code_{m} {whens} END)".format(
-            m=m,
-            whens=" ".join(
-                f"WHEN {k} THEN q.l_{m}_{k}" for k in range(_PQ_K)
-            ),
-        )
-        for m in range(_PQ_M)
-    )
-    exact = " + ".join(
-        f"(qv.e{i + 1} - xv.e{i + 1}) * (qv.e{i + 1} - xv.e{i + 1})"
-        for i in range(_PQ_DIM)
-    )
+    dfull = _pq_dfull()
+    lut_cols = _pq_lut_cols()
+    adist = _pq_adist()
     return f"""{_pq_prefix_sql(el, pc_source)},
 cfull AS (SELECT vec_id, cent_id, ({dfull}) AS dfull FROM pc),
 crank AS (
@@ -454,32 +475,7 @@ pair AS (
   JOIN qlut q ON q.query_id = p.query_id
   WHERE x.vec_id <> p.query_id
 ),
-cand AS (
-  SELECT query_id, vec_id, adist,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY adist, vec_id) AS crn
-  FROM pair
-),
-rer AS (
-  SELECT c.query_id, c.vec_id, c.adist, ({exact}) AS exact_d2
-  FROM cand c
-  JOIN v qv ON qv.vec_id = c.query_id
-  JOIN v xv ON xv.vec_id = c.vec_id
-  WHERE c.crn <= {_PQ_CAND}
-),
-ranked AS (
-  SELECT query_id, vec_id, adist, exact_d2,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY exact_d2, vec_id) AS rn
-  FROM rer
-)
-SELECT query_id, vec_id AS neighbor_id,
-       ROUND(exact_d2, 6) AS dist_sq,
-       ROUND(adist, 6) AS approx_dist,
-       CAST(rn AS BIGINT) AS rn
-FROM ranked WHERE rn <= {_PQ_TOPK}
-ORDER BY query_id, rn
-"""
+{_pq_rerank_tail()}"""
 
 
 @register(

@@ -1,0 +1,222 @@
+"""Round-12 extension batch: the persisted-index ANN read path —
+IVF-PQ where the index is a cluster-partitioned parquet layout and
+the search scans ONLY the probed posting-list partitions (round-12
+VERDICT item 3: "a real 100 TB user hits this first").
+
+- ``sim_ivfpq_persisted_read``: build the IVF-PQ index ONCE as a
+  parquet table partitioned by ``cluster_id`` (coarse assignment +
+  8x4-bit PQ codes per vector — exactly the ``assigned``/``codes``
+  relations ``sim_ivfpq_search_e2e`` names as the production
+  artifact), then answer the query batch through a partition-pruned
+  scan: coarse-rank the 16 centroids per query driver-side (80 rows),
+  read back just the <= Q x nprobe probed partitions, ADC-score with
+  broadcast LUTs, exact re-rank.
+
+Reference scope: the reference (amazons3_blueprints, SURVEY.md §2.2)
+has no relational surface; extends SURVEY.md §2.3 section J.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3spark.io import scratch_dir, table
+from s3spark.queries.pipeline24 import (
+    _ivfpq_sql,
+    _pq_adist,
+    _pq_dfull,
+    _pq_lut_cols,
+    _pq_parts,
+    _pq_pc_standalone_sql,
+    _pq_prefix_sql,
+    _pq_rerank_tail,
+    _PQ_DIM,
+    _PQ_K,
+    _PQ_M,
+    _PQ_PROBES,
+    _PQ_QUERIES,
+)
+from s3spark.registry import register
+
+# --------------------------------------------------------------------------
+# sim_ivfpq_persisted_read
+# --------------------------------------------------------------------------
+
+_SPARK_EL = "element_at(embedding, {i})"
+
+
+def _ivfpq_index_sql(el, pc_source: str | None = None) -> str:
+    """The index-BUILD text: per vector, coarse cluster assignment
+    (argmin full distance, ``sim_ivfpq_search_e2e``'s exact crank
+    text) + the 8 PQ codes — the two relations the e2e key's
+    docstring names as the persisted production artifact, in one
+    row per vector ready for ``write.partitionBy("cluster_id")``."""
+    code_cols = ", ".join(
+        f"CAST(c.code_{m} AS INT) AS code_{m}" for m in range(_PQ_M)
+    )
+    return f"""{_pq_prefix_sql(el, pc_source)},
+cfull AS (SELECT vec_id, cent_id, ({_pq_dfull()}) AS dfull FROM pc),
+crank AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dfull, cent_id) AS pr
+  FROM cfull
+),
+assigned AS (SELECT vec_id, cent_id AS cluster_id FROM crank WHERE pr = 1)
+SELECT c.vec_id, {code_cols}, CAST(a.cluster_id AS INT) AS cluster_id
+FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
+"""
+
+
+def _qpc_sql(src: str) -> str:
+    """Query-side pc as a plain parenthesized derived table (no CTE,
+    so it embeds anywhere without shadowing an outer ``v``): the
+    {_PQ_QUERIES} query vectors crossed with the 16 codebook rows,
+    carrying the SAME 8 subspace-distance expressions as the full pc
+    relation (``_pq_parts`` — identical text, so the doubles feeding
+    coarse ranking and the LUTs are bitwise the ones the inline
+    oracle computes)."""
+    el = lambda i: _SPARK_EL.format(i=i)  # noqa: E731
+    els, _c_els, d_cols = _pq_parts(el)
+    c_direct = ", ".join(
+        f"CAST({el(i + 1)} AS DOUBLE) AS c{i + 1}" for i in range(_PQ_DIM)
+    )
+    return f"""(
+  SELECT v.vec_id, cb.cent_id, {", ".join(d_cols)}
+  FROM (SELECT vec_id, {els} FROM {src}
+        WHERE vec_id < {_PQ_QUERIES}) v
+  CROSS JOIN (SELECT vec_id AS cent_id, {c_direct} FROM {src}
+              WHERE vec_id < {_PQ_K}) cb
+)"""
+
+
+@register(
+    "sim_ivfpq_persisted_read",
+    oracle=_ivfpq_sql(lambda i: f"embedding[{i}]"),
+)
+def sim_ivfpq_persisted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search against a PERSISTED index — the production form
+    ``sim_ivfpq_search_e2e`` computes inline: the index (per vector:
+    coarse ``cluster_id`` + 8x4-bit PQ codes) is written once as
+    parquet ``PARTITIONED BY (cluster_id)``, and the query batch then
+    touches ONLY its probed posting-list partitions:
+
+    1. BUILD (amortized in production, replayed here for a
+       self-contained fixture key): the e2e text's ``assigned`` +
+       ``codes`` relations, one row per vector, laid out by
+       ``write.partitionBy("cluster_id")`` — 16 posting-list
+       directories.
+    2. PROBE (driver-side planner step, the ``scan_manifest_prune``
+       precedent): each query ranks the 16 centroids by the shared
+       coarse-distance text and keeps its {_PQ_PROBES} nearest — a
+       Q x K = 80-row collect, bounded by the query batch, never by
+       the corpus.
+    3. READ: ``cluster_id IN (probed)`` prunes at PLANNING time —
+       the scan's PartitionFilters select <= Q x {_PQ_PROBES} of the
+       16 directories and the non-probed posting lists are never
+       opened (plan-gated in tests/test_plans.py).
+    4. SCORE: broadcast the 10-row probe map and the 5-row LUTs onto
+       the pruned scan, ADC CASE lookups in codegen, exact re-rank of
+       the top-50 against the source vectors (``_pq_rerank_tail``,
+       byte-shared with ADC and e2e).
+
+    Engine shape (100 TB): this is the layout that makes billion-row
+    ANN serving work — the corpus-sized relation is the parquet
+    index, the per-query cost is (posting-list scan + 8 int lookups
+    per candidate), and NOTHING else scales with corpus size.  The
+    build cost is paid once; every later query batch pays only steps
+    2-4.  Directory-partitioning by cluster_id is exactly a FAISS
+    IVF posting-list file per centroid, expressed as a lakehouse
+    layout.
+
+    FULL value oracle, bitwise-portable: the oracle is the INLINE
+    e2e text (``_ivfpq_sql``) — the persisted path must reproduce
+    its results exactly because every stored/recomputed number
+    (codes, assignment, LUT entries, coarse ranks) comes from the
+    same shared-SQL float64 expressions; parquet stores the codes
+    losslessly and the partition directories store cluster_id
+    losslessly, so the round-trip through the index changes no
+    value.  That equality IS the test: index build + pruned read ==
+    one-shot inline computation."""
+    el = lambda i: _SPARK_EL.format(i=i)  # noqa: E731
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "p26_embeddings"
+    )
+
+    # -- 1. BUILD: materialize pc once (the e2e key's checkpoint
+    # pattern), derive codes + coarse assignment, lay out by cluster.
+    pc = (
+        spark.sql(
+            _pq_pc_standalone_sql(el).replace(
+                "FROM embeddings", "FROM p26_embeddings"
+            )
+        )
+        .repartition(8, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pc.createOrReplaceTempView("p26_pc")
+    index = spark.sql(
+        _ivfpq_index_sql(el, pc_source="p26_pc").replace(
+            "FROM embeddings", "FROM p26_embeddings"
+        )
+    )
+    out = scratch_dir("ivfpq_index") + "/embeddings_ivfpq"
+    index.write.partitionBy("cluster_id").mode("overwrite").parquet(out)
+    spark.catalog.refreshByPath(out)
+
+    # -- 2. PROBE: coarse-rank the codebook per query driver-side.
+    # Q x K = 80 rows — a planner metadata step bounded by the query
+    # batch (scan_manifest_prune's driver-side manifest precedent),
+    # sorting ALREADY-COMPUTED shared-text doubles (no new float
+    # arithmetic, so engine portability is untouched).
+    qpc_rows = spark.sql(
+        f"SELECT vec_id, cent_id, ({_pq_dfull()}) AS dfull"
+        f" FROM {_qpc_sql('p26_embeddings')} qpc"
+    ).collect()
+    by_query: dict = {}
+    for r in qpc_rows:
+        by_query.setdefault(r["vec_id"], []).append(
+            (r["dfull"], r["cent_id"])
+        )
+    probes = [
+        (int(qid), int(cent))
+        for qid, ds in by_query.items()
+        for _d, cent in sorted(ds)[:_PQ_PROBES]
+    ]
+    probed_clusters = sorted({c for _q, c in probes})
+    spark.createDataFrame(
+        probes, "query_id BIGINT, qc INT"
+    ).createOrReplaceTempView("p26_probes")
+
+    # -- 3. READ: explicit schema (partition column included — read
+    # from the ROOT, so directory discovery fills cluster_id); the
+    # IN-list on the partition column prunes at planning time.
+    idx_schema = (
+        "vec_id BIGINT, "
+        + ", ".join(f"code_{m} INT" for m in range(_PQ_M))
+        + ", cluster_id INT"
+    )
+    pruned = spark.read.schema(idx_schema).parquet(out).filter(
+        F.col("cluster_id").isin(probed_clusters)
+    )
+    pruned.createOrReplaceTempView("p26_idx")
+
+    # -- 4. SCORE: LUTs from the query-side pc (same d_m text), ADC
+    # over the pruned posting lists, shared re-rank tail.
+    sql = f"""
+WITH v AS (SELECT vec_id, {_pq_parts(el)[0]} FROM p26_embeddings),
+qpc AS ({_qpc_sql('p26_embeddings')}),
+qlut AS (
+  SELECT vec_id AS query_id, {_pq_lut_cols()}
+  FROM qpc GROUP BY vec_id
+),
+pair AS (
+  SELECT p.query_id, x.vec_id, {_pq_adist()} AS adist
+  FROM p26_probes p
+  JOIN p26_idx x ON x.cluster_id = p.qc
+  JOIN qlut q ON q.query_id = p.query_id
+  WHERE x.vec_id <> p.query_id
+),
+{_pq_rerank_tail()}"""
+    return spark.sql(sql)

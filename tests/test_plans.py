@@ -383,6 +383,9 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         "sim_pq_codebook_assign",  # 16-row codebook cross (ivf pattern)
         "sim_pq_adc_topk",  # 16-row codebook + 5-row query-LUT crosses
         "sim_ivfpq_search_e2e",  # same bounded crosses as adc_topk
+        # round-12: 5-query x 16-centroid qpc cross + 10-row probe
+        # broadcast — all build sides constant in corpus size
+        "sim_ivfpq_persisted_read",
         "stats_benjamini_hochberg",  # 1-row global-moments cross join
         "sim_matryoshka_recall_eval",  # 5-row query side per k-block
         "sample_stratified_neyman",  # 1-row denom + 5-row alloc crosses
