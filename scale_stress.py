@@ -132,7 +132,13 @@ FACT_KEYS = ["agg_groupby", "q3_shipping_priority", "join_multiway",
              # <=5-row moment fold; rank variant rides the two-level
              # prefix) and the one-Expand-pass column profile
              "stats_anova_oneway", "stats_kruskal_wallis",
-             "dq_column_profile"]
+             "dq_column_profile",
+             # round-12 (verdict item 4): lineitem-driven BH FDR (the
+             # per-brand moment agg is the only data-scaled stage; the
+             # 25-row step-up fold is constant) and the orders-driven
+             # Neyman allocation (exact-moment agg scans the
+             # replicated orders; strata count fixed at 5)
+             "stats_benjamini_hochberg", "sample_stratified_neyman"]
 
 # Document- and event-table keys scale with rows the fact replicator
 # leaves untouched — measure them across the fixtures' own 10× growth
@@ -239,7 +245,13 @@ DOC_KEYS = ["dedup_fuzzy_minhash", "dedup_exact", "text_stats",
             "dedup_substring_exact", "dedup_substring_mask",
             "sim_pq_codebook_assign",
             "sim_pq_adc_topk", "sim_ivfpq_search_e2e",
-            "mm_frame_sample_video"]
+            "mm_frame_sample_video",
+            # round-12: embeddings-driven Matryoshka truncation eval
+            # (per-k exact top-5 over the 4x-growing vector table) and
+            # the persisted-index IVF-PQ path (index build scales with
+            # vectors; the pruned read scans only probed posting
+            # lists — expect build-dominated, still sub-linear)
+            "sim_matryoshka_recall_eval", "sim_ivfpq_persisted_read"]
 DOC_SMALL = "/root/testdata/sf0.01"
 DOC_BIG = SRC  # sf0.1
 
@@ -358,6 +370,7 @@ def ann_recall(spark) -> dict:
             "sim_ann_lsh_hand",
             "sim_pq_adc_topk",
             "sim_ivfpq_search_e2e",
+            "sim_ivfpq_persisted_read",
         ):
             approx = pairset(key, sf)
             out.setdefault(key, {})[label] = (

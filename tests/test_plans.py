@@ -386,6 +386,9 @@ def test_no_undeclared_nested_loop_joins(spark, sf_dir):
         # round-12: 5-query x 16-centroid qpc cross + 10-row probe
         # broadcast — all build sides constant in corpus size
         "sim_ivfpq_persisted_read",
+        # round-12: 1-row corpus-total and 1-row leftover/active-weight
+        # broadcasts crossed onto the 20-row source relation
+        "sample_token_budget_mixture",
         "stats_benjamini_hochberg",  # 1-row global-moments cross join
         "sim_matryoshka_recall_eval",  # 5-row query side per k-block
         "sample_stratified_neyman",  # 1-row denom + 5-row alloc crosses
