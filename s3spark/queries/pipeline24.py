@@ -101,9 +101,10 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine shape (100 TB): shingle hashing is pure map-side (md5 over
     the 50-token window — the md5-portability trick from
-    dedup_fuzzy_minhash; a production build swaps in a Karp-Rabin
-    rolling hash to make it O(n) per doc, which changes per-row CPU
-    only, not the plan); duplicate marking is ONE content-hash
+    dedup_fuzzy_minhash; a Karp-Rabin integer fold was A/B-measured in
+    scripts/kr_shingle_ab.py and LOST 0.84x/0.6x — Spark interprets
+    HOF lambdas per element while md5/concat_ws run in whole-stage
+    codegen, so md5 stays); duplicate marking is ONE content-hash
     shuffle (count window over h — boilerplate-skewed hashes are
     AQE-splittable); the island merge is a per-doc window (shuffle by
     doc_id, never global).  No joins, no driver state, output scales

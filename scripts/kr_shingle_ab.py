@@ -30,6 +30,17 @@ oracle STAYS md5 precisely so cross-engine verification keeps an
 independent hash family.
 
 Usage: python scripts/kr_shingle_ab.py  → one JSON line
+
+MEASURED RESULT (round 12, sf0.1, quiet box): md5 WINS —
+md5_full_key 1.168 s vs kr_full_key 1.398 s (0.84x), shingle-only
+0.695 s vs 1.162 s (0.6x); a single-modulus KR variant was no
+better.  Root cause: Spark evaluates higher-order-function lambdas
+(aggregate/transform closures) INTERPRETED per element, while
+md5 + concat_ws execute inside whole-stage codegen — the "cheap"
+integer fold pays per-element interpreter dispatch that exceeds the
+byte work it saves.  Decision: dedup_substring_exact/_mask keep md5;
+the KR swap is only worth it in engines that compile the hash loop
+(PLANS.md row updated with this citation).
 """
 
 from __future__ import annotations
