@@ -13,8 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import scratch_dir
-
 RANK_NB = 64
 
 
@@ -40,10 +38,20 @@ def with_cum_less(spark: SparkSession, cells: DataFrame, tag: str) -> DataFrame:
     ``(v - lo) div width ≤ NB - 1`` always; bucket ids stay monotone in
     ``v`` and the prefix sums are bucket-boundary-independent, so the
     two formulas produce identical cum_less values where both are in
-    range."""
-    path = scratch_dir(tag) + "/cells"
-    cells.write.mode("overwrite").parquet(path)
-    cell = spark.read.parquet(path)
+    range.
+
+    Materialization is ``localCheckpoint`` (round-12 measurement):
+    the cell table is an intra-query intermediate with exactly two
+    consumers, and the parquet scratch round-trip (encode + fs write
+    + re-read) cost ~0.5-1 s per call at sf0.1 where the checkpoint
+    holds the same narrow rows in the block manager
+    (MEMORY_AND_DISK, spills under pressure) — the same idiom the
+    IVF-PQ pc relation and graph_bfs_distance already use.  The
+    lineage cut it implies is exactly what the scratch write bought:
+    both consumers scan the materialized rows instead of replaying
+    the upstream aggregate."""
+    del tag  # retained in the signature for call-site labeling
+    cell = cells.localCheckpoint()
     stats = cell.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     withb = (
         cell.crossJoin(F.broadcast(stats))

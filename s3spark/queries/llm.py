@@ -450,7 +450,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter.  vec_id < 500 bounds the candidate set identically at
     every SF (all vectors at the driver's sf0.01) — without the bound
     the sf0.1 bench spends 2+ minutes on 2M HOF-fold pairs that the
-    ANN keys exist to avoid."""
+    ANN keys exist to avoid.
+
+    The per-pair cosine is computed EXACTLY ONCE, in a projection
+    behind a localCheckpoint barrier (round-12 plan audit): written
+    as join → withColumn → filter, Catalyst pushes the selective
+    cos ≥ 0.4 predicate INTO the nested-loop join condition AHEAD of
+    the cheap vec_a < vec_b conjunct, so the interpreted fold-dot ran
+    on every ordered pair (2× the work) and then AGAIN in the output
+    projection — measured 3.0 s vs 1.33 s at sf0.1.  The checkpoint
+    materializes only (vec_a, vec_b, cos_raw) — 3 narrow columns per
+    unordered pair, never the vectors — and the filter/round/sort run
+    over that bounded relation."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     # zero-norm vectors have no direction — excluded on BOTH engines
     # (ANSI Spark would throw DIVIDE_BY_ZERO on the 0/0 cosine)
@@ -465,10 +476,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nb"),
     ).filter(F.col("nb") > 0)
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    pairs = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .localCheckpoint()
+    )
+    return (
+        pairs.filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )

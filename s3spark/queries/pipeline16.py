@@ -469,14 +469,16 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_discount", "l_tax"
     )
-    rows_path = scratch_dir("spearman") + "/rows"
-    li.selectExpr(
+    # localCheckpoint, not parquet scratch (round-12): the 2-column
+    # integer row table is an intra-query intermediate with three
+    # consumers; the parquet round-trip cost ~1.3 s at sf0.1 for the
+    # same lineage cut the checkpoint provides from the block manager.
+    r = li.selectExpr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         " * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))"
         " * (100 + CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)) AS y",
-    ).write.mode("overwrite").parquet(rows_path)
-    r = spark.read.parquet(rows_path)
+    ).localCheckpoint()
     cx = r.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
     mx = _with_cum_less(spark, cx, "spearman_x").select(
         F.col("v").alias("x"),

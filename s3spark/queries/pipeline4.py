@@ -147,7 +147,19 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pipeline4.py pins the |cos - tau| margin across the
     fixture so the threshold cannot flip between engines.  The single
     driver-side value is the corpus count that sizes k (planner-time
-    scalar, same class as dedup_clusters' edge cap)."""
+    scalar, same class as dedup_clusters' edge cap).
+
+    Round-12 plan audit: ``assigned`` has THREE consumers (both pair
+    legs + the member counts) and Spark plans are trees, so the
+    k-centroid interpreted argmin replayed 3× over the corpus; it is
+    now localCheckpointed once (narrow rows: id, vector, norm², cid).
+    The within-cluster pair cosines likewise compute ONCE in a
+    projection behind a second checkpoint barrier — written as
+    join → filter(τ), Catalyst folds the fold-dot predicate into the
+    join condition and re-evaluates it per output row (the
+    dedup_embedding_cosine finding; measured 3.17 s → 1.0 s at
+    sf0.1).  The pair checkpoint carries (cid, j, cos) only — three
+    narrow columns, never the vectors."""
     e = table(spark, sf_dir, "embeddings")
     n = e.count()
     k = -(-n // _SEM_PER_CLUSTER)
@@ -178,6 +190,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("vec_id", "v", "n2", F.col("best")["cid"].alias("cid"))
+        .localCheckpoint()
     )
     a1 = assigned.select(
         "cid",
@@ -191,14 +204,21 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vj"),
         F.col("n2").alias("n2j"),
     )
-    dup = (
+    pair_cos = (
         a1.join(a2, "cid")
         .filter(F.col("i") < F.col("j"))
-        .filter(
-            _fold_dot(F.col("vi"), F.col("vj"))
-            / (F.sqrt("n2i") * F.sqrt("n2j"))
-            >= _SEM_TAU
+        .select(
+            "cid",
+            "j",
+            (
+                _fold_dot(F.col("vi"), F.col("vj"))
+                / (F.sqrt("n2i") * F.sqrt("n2j"))
+            ).alias("cos"),
         )
+        .localCheckpoint()
+    )
+    dup = (
+        pair_cos.filter(F.col("cos") >= _SEM_TAU)
         .groupBy("cid")
         .agg(F.countDistinct("j").alias("n_dropped"))
     )
