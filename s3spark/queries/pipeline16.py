@@ -29,7 +29,7 @@ per the north star's analytics + training-data mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s3spark.io import scratch_dir, table
@@ -191,6 +191,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline imports another pipeline's private symbol)
 # --------------------------------------------------------------------------
 
+from s3spark.queries._prefix import RANK_NB as _RANK_NB  # noqa: E402
 from s3spark.queries._prefix import with_cum_less as _with_cum_less  # noqa: E402
 
 
@@ -454,58 +455,106 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) fold bound holds beyond sf1000 (rank ≤ 2n ≈ 1.2·10¹⁰
     at 100 TB; n·Σrx·ry ≈ 10³³ < 10³⁸).
 
-    Engine shape: the projected 2-column row table is materialized
-    ONCE to scratch (one fact scan; three consumers — the two cell
-    tables and the rank-join — would each replay the scan otherwise:
-    Spark plans are trees); each rank map derives from a
-    distinct-bounded map-side-combined cell shuffle + the two-level
-    prefix scheme; rows join both rank maps via plain hash equi-joins
-    — no forced broadcast hint, because the x map's size is the
-    distinct-price count, which GROWS with part cardinality (i.e. with
-    scale factor): Catalyst auto-broadcasts it while it fits under the
-    threshold and falls back to a shuffle join when it doesn't, instead
-    of an unconditional hint that cannot back off; the fold is a
+    Engine shape (round-12 rewrite): rows are ranked DIRECTLY in
+    per-bucket windows — rank() gives the in-bucket strictly-smaller
+    count, a RANGE(0,0) frame counts peers, and a ≤64-row broadcast
+    bucket-offset table globalizes the prefix — so the doubled midrank
+    is ``2·(offset + rank − 1) + peers + 1`` computed in ONE window
+    pass per column over the checkpointed 2-column row table.  The
+    previous shape built two per-distinct-value cell tables, ranked
+    those with the prefix helper, and hash-joined the near-unique
+    (~594k distinct of 600k rows at sf0.1) rank maps BACK onto the
+    rows — two fact-sized shuffle joins the window form simply does
+    not have; the interleaved A/B measured ~2.1× with bit-identical
+    output.  Distinct counts ride the same windows (exactly one row
+    per peer group satisfies row_number == rank), so no
+    COUNT(DISTINCT) Expand and no extra pass.  The fold is a
     constant-width reduction."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_discount", "l_tax"
     )
     # localCheckpoint, not parquet scratch (round-12): the 2-column
-    # integer row table is an intra-query intermediate with three
-    # consumers; the parquet round-trip cost ~1.3 s at sf0.1 for the
-    # same lineage cut the checkpoint provides from the block manager.
+    # integer row table is an intra-query intermediate with multiple
+    # consumers (window chain + two bucket-total aggregates); the
+    # parquet round-trip cost ~1.3 s at sf0.1 for the same lineage cut
+    # the checkpoint provides from the block manager.
     r = li.selectExpr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         " * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))"
         " * (100 + CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)) AS y",
     ).localCheckpoint()
-    cx = r.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-    mx = _with_cum_less(spark, cx, "spearman_x").select(
-        F.col("v").alias("x"),
-        (F.lit(2) * F.col("cum_less") + F.col("cnt") + 1).alias("rx"),
+
+    def rank_pass(rows: DataFrame, col: str, bkt: str) -> DataFrame:
+        """Append doubled-midrank ``r_<col>`` and peer-group-first
+        flag ``first_<col>`` via the two-level bucket scheme applied
+        to the ROW table: bucket ids from the 1-row min/max broadcast
+        (the same guarded division-only formula as with_cum_less),
+        per-bucket rank/peer-count windows, global offsets from a
+        ≤64-row broadcast.  Bucket totals always aggregate the
+        checkpointed base ``r`` (never ``rows``, which on the second
+        call already carries the first column's window pass —
+        aggregating it would replay that pass)."""
+        stats = r.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        guard = (
+            "CASE WHEN try_subtract(hi, lo) IS NULL"
+            " OR try_subtract(hi, lo) < 0 THEN CAST(raise_error("
+            "'stats_spearman_corr: value spread exceeds BIGINT — "
+            "quantize more coarsely before ranking') AS BIGINT) "
+            f"ELSE ({col} - lo) div ((hi - lo) div {_RANK_NB} + 1) END"
+            f" AS {bkt}"
+        )
+        btot = (
+            r.crossJoin(F.broadcast(stats))
+            .selectExpr(guard)
+            .groupBy(bkt)
+            .agg(F.count(F.lit(1)).alias("tc"))
+        )
+        woff = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
+        off = btot.select(
+            bkt, F.coalesce(F.sum("tc").over(woff), F.lit(0)).alias("offc")
+        )
+        w = Window.partitionBy(bkt).orderBy(col)
+        wpeer = w.rangeBetween(0, 0)
+        return (
+            rows.crossJoin(F.broadcast(stats))
+            .selectExpr("*", guard)
+            .drop("lo", "hi")
+            .join(F.broadcast(off), bkt)
+            .select(
+                "*",
+                (
+                    F.lit(2) * (F.col("offc") + F.rank().over(w) - 1)
+                    + F.count(F.lit(1)).over(wpeer)
+                    + 1
+                )
+                .cast("bigint")
+                .alias("r_" + col),
+                (F.row_number().over(w) == F.rank().over(w))
+                .cast("bigint")
+                .alias("first_" + col),
+            )
+            .drop(bkt, "offc")
+        )
+
+    j = rank_pass(rank_pass(r, "x", "bx"), "y", "by").select(
+        F.col("r_x").alias("rx"),
+        F.col("r_y").alias("ry"),
+        "first_x",
+        "first_y",
     )
-    cy = r.groupBy(F.col("y").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-    my = _with_cum_less(spark, cy, "spearman_y").select(
-        F.col("v").alias("y"),
-        (F.lit(2) * F.col("cum_less") + F.col("cnt") + 1).alias("ry"),
-    )
-    j = r.join(mx, "x").join(my, "y").select("rx", "ry")
     big = "decimal(38,0)"
-    # distinct counts come from the CELL tables (bounded, map-side
-    # reductions over the rows scratch) instead of a COUNT(DISTINCT)
-    # Expand over the fact-wide joined rows — measured ~3x row
-    # inflation saved at sf0.1
-    ndx = cx.agg(F.count(F.lit(1)).alias("ndx"))
-    ndy = cy.agg(F.count(F.lit(1)).alias("ndy"))
     f = j.agg(
         F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("first_x"), F.lit(0)).cast("bigint").alias("ndx"),
+        F.coalesce(F.sum("first_y"), F.lit(0)).cast("bigint").alias("ndy"),
         F.sum(F.col("rx").cast(big)).cast(big).alias("sx"),
         F.sum(F.col("ry").cast(big)).cast(big).alias("sy"),
         F.sum((F.col("rx").cast(big) * F.col("rx")).cast(big)).cast(big).alias("sxx"),
         F.sum((F.col("ry").cast(big) * F.col("ry")).cast(big)).cast(big).alias("syy"),
         F.sum((F.col("rx").cast(big) * F.col("ry")).cast(big)).cast(big).alias("sxy"),
     )
-    e = f.crossJoin(F.broadcast(ndx)).crossJoin(F.broadcast(ndy)).select(
+    e = f.select(
         "n",
         "ndx",
         "ndy",
