@@ -93,3 +93,37 @@ def with_cum_less(spark: SparkSession, cells: DataFrame, tag: str) -> DataFrame:
         .withColumn("cum_less", (F.col("offc") + F.col("lc")).cast("bigint"))
         .drop("lc", "offc", "bkt")
     )
+
+
+def explode_shingles(
+    docs: DataFrame, n: int, out: str = "shingle", keep: tuple = ()
+) -> DataFrame:
+    """``(doc_id, text) → (doc_id, <out>)`` word n-gram explosion with
+    the n-gram assembled in WHOLE-STAGE CODEGEN: the index sequence is
+    exploded first and ``concat_ws(' ', w[i], …, w[i+n-1])`` runs as a
+    codegen projection over the generated rows.
+
+    The previous idiom — ``explode(transform(sequence(0, size-n),
+    i -> concat_ws(...)))`` — evaluates the lambda INTERPRETED per
+    element (the round-12 Karp-Rabin lesson: higher-order-function
+    lambdas never enter codegen); the round-12 A/B on the
+    dedup_fuzzy_minhash signature stage measured 2.29 vs 1.99 s warm
+    at sf0.1 with identical (doc_id, shingle) multisets.
+
+    ``size(w) >= n`` guards the descending-``sequence()`` edge: for
+    shorter docs ``sequence(0, size-n)`` runs DESCENDING and negative
+    ``w[i]`` lookups yield nulls that concat_ws silently drops — bogus
+    short shingles.  Sub-n-word docs have no n-grams by definition.
+
+    ``keep`` names additional ``docs`` columns carried through
+    unchanged (e.g. ``source``)."""
+    words = docs.select(
+        "doc_id", *keep, F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= n)
+    terms = [F.expr(f"w[i+{k}]") if k else F.expr("w[i]") for k in range(n)]
+    return words.select(
+        "doc_id",
+        *keep,
+        "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - n)).alias("i"),
+    ).select("doc_id", *keep, F.concat_ws(" ", *terms).alias(out))

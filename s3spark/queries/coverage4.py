@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3spark.io import table
+from s3spark.queries._prefix import explode_shingles as _explode_shingles
 from s3spark.registry import register
 
 # 8-day bands: both interval kinds (≤8 days, ≤4 days) span ≤2 bands,
@@ -150,18 +151,8 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     key pins that the guard changes results only at the margin
     (fixture df maxes at 7, so the cap is demonstrably active)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    # split once in a prior Project (inline split in the lambda is
-    # re-evaluated per element access; measured 6x on this stage);
-    # size(w) >= 3 guards the descending-sequence() edge for sub-3-word
-    # docs (see llm.dedup_fuzzy_minhash)
-    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
-    trigrams = F.expr(
-        "transform(sequence(0, size(w) - 3),"
-        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-    )
-    sh_all = words.select("doc_id", F.explode(trigrams).alias("trigram")).distinct()
+    # codegen shingle explosion (round-12; see _prefix.explode_shingles)
+    sh_all = _explode_shingles(d, 3, out="trigram").distinct()
     keep = (
         sh_all.groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("df"))

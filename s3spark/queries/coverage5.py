@@ -210,13 +210,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 2
     )
-    bigrams = F.expr(
-        "transform(sequence(0, size(w) - 2),"
-        " i -> struct(w[i] AS w1, w[i+1] AS w2))"
-    )
-    bg = words.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
-    )
+    # codegen bigram pairs (round-12): explode the index sequence and
+    # assemble (w1, w2) in a codegen projection — the transform()
+    # lambda form ran interpreted per element (see
+    # _prefix.explode_shingles for the measurement)
+    bg = words.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0), F.size("w") - 2)).alias("i")
+    ).select("doc_id", F.expr("w[i]").alias("w1"), F.expr("w[i+1]").alias("w2"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from s3spark.io import table
 from s3spark.queries.curation2 import _EVAL_SOURCES
 from s3spark.queries.llm import cluster_labels, jaccard_pairs
+from s3spark.queries._prefix import explode_shingles as _explode_shingles
 from s3spark.registry import register
 
 # DuckDB twin of each stage, assembled into one statement.  The 8-gram
@@ -118,31 +119,36 @@ def _e2e_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.array_distinct(w)) / F.size(w) >= 0.32)
     )
 
-    # ---- stage 2: decontaminate (hashed 8-gram broadcast semi-join)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 8),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8)),
-    )
+    # ---- stage 2: decontaminate (hashed 8-gram broadcast semi-join).
+    # 8-grams are assembled in CODEGEN via _prefix.explode_shingles
+    # (round-12: the transform()-lambda form ran interpreted per
+    # element); its size(w) >= 8 guard covers the descending-sequence
+    # edge for sub-8-word eval docs, which bypass the >=15-token
+    # quality filter (the oracle's `i + 7 <= len(toks)` already drops
+    # them).
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
-    # size(w) >= 8 guard: eval docs bypass the >=15-token quality
-    # filter, and a sub-8-word doc would make sequence() run descending
-    # and emit bogus truncated shingles on the Spark side only (the
-    # oracle's `i + 7 <= len(toks)` already drops them).
     ev_ng = (
-        d.filter(is_eval & (F.size(w) >= 8))
-        .select(F.explode(ngrams).alias("ngram"))
+        _explode_shingles(d.filter(is_eval), 8, out="ngram")
         .select(F.xxhash64("ngram").alias("ngh"))
         .distinct()
     )
     train = quality.filter(~is_eval)
     contaminated = (
-        train.select("doc_id", F.explode(ngrams).alias("ngram"))
+        _explode_shingles(train, 8, out="ngram")
         .select("doc_id", F.xxhash64("ngram").alias("ngh"))
         .join(F.broadcast(ev_ng), "ngh", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    return train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # localCheckpoint (round-12 plan audit): the clean corpus has TWO
+    # downstream consumers — the bounded Jaccard pair job (which
+    # cluster_labels executes eagerly for its capped edge collect) and
+    # the final survivor anti-join — so the whole quality +
+    # decontaminate chain ran twice; the checkpoint holds the clean
+    # (doc_id, source, text, n_chars) rows once.
+    return train.join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    ).localCheckpoint()
 
 
 def _e2e_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,14 +361,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling; the MinHash banding upstream is the unbounded candidate
     path (containment re-rank swaps in for the jaccard estimate)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
-    trigrams = F.expr(
-        "transform(sequence(0, size(w) - 3),"
-        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-    )
-    sh = words.select("doc_id", F.explode(trigrams).alias("trigram")).distinct()
+    # codegen shingle explosion (round-12; see _prefix.explode_shingles)
+    sh = _explode_shingles(d, 3, out="trigram").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

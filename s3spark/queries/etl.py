@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s3spark.io import davg, dsum, sql_davg, sql_dsum, table
+from s3spark.queries._prefix import explode_shingles as _explode_shingles
 from s3spark.registry import register
 
 
@@ -262,18 +263,11 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two aggregations both keyed on doc_id — the second
     reuses the first's partitioning, so one real shuffle."""
     d = table(spark, sf_dir, "documents")
-    # size(w) >= 2 guards the descending-sequence() edge: a 1-word doc
-    # makes sequence(0,-1) → [0,-1] and the w[-1] lookup yields a null
-    # bigram (see llm.dedup_fuzzy_minhash for the trigram twin)
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 2
-    )
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
-        ).alias("bg"),
-    )
+    # codegen bigram explosion (round-12; see _prefix.explode_shingles
+    # — concat_ws(' ', a, b) == concat(a, ' ', b) for the non-null
+    # split() tokens, and the size(w) >= 2 guard covers the
+    # descending-sequence edge)
+    bigrams = _explode_shingles(d, 2, out="bg")
     counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     frac = F.max("c").cast("double") / F.sum("c")
     return (

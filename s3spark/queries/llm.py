@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from s3spark.io import table
+from s3spark.queries._prefix import explode_shingles as _explode_shingles
 from s3spark.registry import register
 
 # Stopword list for the language-ID / quality heuristics (fixture vocab).
@@ -112,21 +113,10 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (doc_id, text) corpus slice — the df-parameterized core shared by
     ``dedup_ngram_jaccard`` and the end-to-end curation pipeline.
     Returns (doc_a, doc_b, jaccard) with jaccard >= ``threshold``."""
-    # split once in a prior Project (inline split in the lambda is
-    # re-evaluated per element access; measured 6x on this stage);
-    # size(w) >= 3 guards the descending-sequence() edge for sub-3-word
-    # docs (see dedup_fuzzy_minhash)
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
-    trigrams = F.expr(
-        "transform(sequence(0, size(w) - 3),"
-        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-    )
-    sh = (
-        words.select("doc_id", F.explode(trigrams).alias("trigram"))
-        .distinct()
-    )
+    # codegen shingle explosion (round-12; see
+    # _prefix.explode_shingles for the interpreted-lambda measurement
+    # and the size(w) >= 3 descending-sequence guard)
+    sh = _explode_shingles(docs, 3, out="trigram").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -259,23 +249,21 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact trigram-Jaccard pairs."""
     K, R, B = _MH_K, _MH_R, _MH_B
     d = table(spark, sf_dir, "documents")
-    # split ONCE in a prior Project: an inline split(text) inside the
-    # transform lambda is re-evaluated on every element access
-    # (measured 6x cost on the signature stage at sf0.1).
-    # size(w) >= 3 guards the sequence() bound: for shorter docs
-    # sequence(0, size(w)-3) runs DESCENDING (sequence(0,-2) →
-    # [0,-1,-2]) and negative w[i] lookups yield nulls that concat_ws
-    # silently drops — bogus 1-2 word shingles.  Sub-3-word docs have
-    # no trigrams by definition; exact dedup still covers them.
-    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
-    )
-    trigrams = F.expr(
-        "transform(sequence(0, size(w) - 3),"
-        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-    )
+    # codegen shingle explosion (round-12; see _prefix.explode_shingles
+    # for the interpreted-lambda measurement and the size(w) >= 3
+    # descending-sequence guard).  Sub-3-word docs have no trigrams by
+    # definition; exact dedup still covers them.
     # no distinct before the min: min over a multiset == min over its set
-    sh = words.select("doc_id", F.explode(trigrams).alias("shingle"))
+    sh = _explode_shingles(d, 3)
+    # localCheckpoint (round-12 plan audit): the self-join below has
+    # TWO consumers of the signature table and Spark plans are trees —
+    # the entire scan → shingle-explode → 12×md5 SortAggregate
+    # pipeline (min over a 32-hex STRING has no mutable agg buffer, so
+    # it is the sort-based path — the expensive stage) appeared TWICE
+    # in the executed plan, once per join side, with no ReusedExchange
+    # (the broadcast side wraps a BroadcastExchange, which never
+    # reuses a shuffle).  The checkpoint holds one narrow row per doc
+    # (doc_id + 12 hex components).
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(
@@ -283,7 +271,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for k in range(K)
         ]
-    )
+    ).localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(

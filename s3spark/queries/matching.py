@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3spark.io import table
+from s3spark.queries._prefix import explode_shingles as _explode_shingles
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -76,11 +77,14 @@ def join_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     here certifies the blocking scheme's recall, not just the verify
     arithmetic."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # slim variant rows (no name payload), checkpointed ONCE: the
+    # self-join below has two consumers and Spark plans are trees, so
+    # the scan + interpreted deletion-variant transform ran twice
+    # (round-12 plan audit); names come back via the dim joins anyway
     variants = c.select(
         "c_custkey",
-        "c_name",
         F.explode(F.expr(_DELETION_VARIANTS)).alias("vk"),
-    )
+    ).localCheckpoint()
     a = variants.alias("a")
     b = variants.alias("b")
     # dedup candidate pairs as BARE INT pairs (a pair can share several
@@ -297,20 +301,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_dup_matches = 0.  Sub-3-word docs carry no trigram signature and
     are handled by the exact-hash path (dedup_exact), as in the batch
     keys.  FULL value oracle via the fixed-width-hex md5 min trick."""
-    from s3spark.io import scratch_dir
-
     K, R, B = _INC_K, _INC_R, _INC_B
     d = table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", "source", F.split("text", " ").alias("w")
-    ).filter(F.size("w") >= 3)
-    trigrams = F.expr(
-        "transform(sequence(0, size(w) - 3),"
-        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-    )
-    sh = words.select(
-        "doc_id", "source", F.explode(trigrams).alias("shingle")
-    )
+    # codegen shingle explosion (round-12; see _prefix.explode_shingles)
+    sh = _explode_shingles(d, 3, keep=("source",))
     sig = sh.groupBy("doc_id", "source").agg(
         *[
             F.min(
@@ -319,10 +313,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(K)
         ]
     )
-    # the persisted signature store: computed once, read by both sides
-    store = scratch_dir("incdedup-sigs")
-    sig.write.mode("overwrite").parquet(store)
-    sig = spark.read.parquet(store)
+    # the signature store is computed once and read by both join sides
+    # — localCheckpoint, not parquet scratch (round-12): inside ONE
+    # query the materialization is a lineage cut, and the block-manager
+    # form skips the parquet encode + fs round-trip; the PRODUCTION
+    # incremental form persists this table between runs (that durable
+    # variant is what the docstring's signature store names)
+    sig = sig.localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(

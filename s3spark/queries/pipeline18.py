@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s3spark.io import table
+from s3spark.queries._prefix import explode_shingles as _explode_shingles
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -323,16 +324,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded by |docs| and |sources|.  Sub-3-word documents carry
     no trigrams and are excluded from scoring on both engines."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    words = d.select(
-        "doc_id", "source", F.split("text", " ").alias("w")
-    ).filter(F.size("w") >= 3)
-    trigrams = F.expr(
-        "transform(sequence(0, size(w) - 3),"
-        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-    )
-    sh = words.select(
-        "doc_id", "source", F.explode(trigrams).alias("trigram")
-    ).distinct()
+    # codegen shingle explosion (round-12; see _prefix.explode_shingles)
+    sh = _explode_shingles(d, 3, out="trigram", keep=("source",)).distinct()
     df = sh.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(df, "trigram")
