@@ -362,38 +362,39 @@ def stream_outer_join_watermark(
         # the fixture's TIMESTAMP(NANOS) column.
         import datetime
 
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # pyarrow direct write (round-12): the sentinel is a 2-row
+        # LOCAL file and a Spark write job cost ~0.8 s of scheduler +
+        # job overhead even after the round-9 repartition(1) fix; the
+        # arrow writer produces a byte-compatible file (same
+        # timestamp_ntz/MICROS physical schema — Spark batch reader
+        # returns an IDENTICAL StructType and identical rows,
+        # round-12 probe) in ~1 ms with no JVM round-trip.
         sentinel_ts = max_ts + datetime.timedelta(days=days)
-        sent = spark.createDataFrame(
-            [
-                (10**12 + days, sentinel_ts, -1, "purchase", 0.0, "{}"),
-                (
-                    10**12 + days + 100,
-                    sentinel_ts - datetime.timedelta(days=2),
-                    -1,
-                    "click",
-                    0.0,
-                    "{}",
+        tbl = pa.table(
+            {
+                "event_id": pa.array(
+                    [10**12 + days, 10**12 + days + 100], pa.int64()
                 ),
-            ],
-            schema=(
-                "event_id long, ts timestamp_ntz, user_id long, "
-                "event_type string, value double, props string"
-            ),
+                "ts": pa.array(
+                    [
+                        sentinel_ts,
+                        sentinel_ts - datetime.timedelta(days=2),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(
+                    ["purchase", "click"], pa.string()
+                ),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
         )
-        tmp = scratch_dir(f"sojoin_sent_{tag}", fresh=True)
-        # repartition(1), NOT coalesce(1): coalescing a parallelized
-        # 2-row local relation into one task unions all 32 parents'
-        # driver-process-local preferences, and the scheduler then
-        # sits out spark.locality.wait before launching — measured
-        # ~5 s of pure stall for this 2-row write vs ~1.5 s with the
-        # round-robin shuffle (round 9; the single-file requirement
-        # itself stands: the stream dir gets exactly one batch file).
-        sent.repartition(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            p for p in os.listdir(tmp) if p.endswith(".parquet")
-        )
-        shutil.copy(
-            f"{tmp}/{part}", f"{stream_dir}/events_sentinel_{tag}.parquet"
+        pq.write_table(
+            tbl, f"{stream_dir}/events_sentinel_{tag}.parquet"
         )
 
     append_sentinel("a", 30)
