@@ -213,9 +213,19 @@ def sim_ann_lsh_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(_TABLES)
         ]
     )
-    sigs = dots.select(
-        "vec_id", F.explode(sig_structs).alias("b")
-    ).select("vec_id", F.col("b.t").alias("t"), F.col("b.sig").alias("sig"))
+    # localCheckpoint (round-12 plan audit): the bucket join below
+    # consumes sigs on BOTH sides (query slice + full table), and Spark
+    # plans are trees — without the barrier the whole signature stage
+    # (posexplode → broadcast plane join → 40-sum combine) runs twice.
+    # Materialized relation is 10 narrow (vec_id, t, sig) rows per
+    # vector, never the vectors or the 40 dots.
+    sigs = (
+        dots.select("vec_id", F.explode(sig_structs).alias("b"))
+        .select(
+            "vec_id", F.col("b.t").alias("t"), F.col("b.sig").alias("sig")
+        )
+        .localCheckpoint()
+    )
     qs = sigs.filter(F.col("vec_id") < _NQUERY).select(
         F.col("vec_id").alias("query_id"), "t", "sig"
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import scratch_dir, table
+from s3spark.io import table
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -110,12 +110,13 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeseries_seasonal_decompose).  Median selection: the slopes are
     ~100% distinct at this fixture, so the previous distinct-value
     cell scheme degenerated into a 2.9M-group shuffle that compressed
-    nothing; instead raw slope ROWS are ranked directly — bucket ids
-    from a 1-row min/max broadcast, ONE row_number window per bucket
-    (a per-bucket local sort of a constant-bounded table, never a
-    global sort), one bounded scratch materialization of the ranked
-    rows feeding both the ≤64-row bucket-offset table and the
-    position filter.  n_pairs = n·(n−1)/2 is exact arithmetic on the
+    nothing; instead raw slope ROWS are bucketed by an equi-depth
+    range exchange (snapshotted once via localCheckpoint), the ≤64
+    bucket counts are pulled to the driver for the prefix sum, and a
+    row_number window runs ONLY inside the ≤2 buckets that contain
+    the median positions (round-12 — previously all 2.9M rows were
+    ranked and round-tripped through scratch parquet to read back two
+    of them).  n_pairs = n·(n−1)/2 is exact arithmetic on the
     driver-known day count, so the target ranks k1/k2 are literals
     and selection is a two-row filter on global position."""
     orders = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
@@ -163,23 +164,49 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order statistics; spark_partition_id() after a range exchange is
     # monotone in v by the RangePartitioner contract.
     nb = 64
-    withb = slopes.repartitionByRange(nb, F.col("v")).select(
-        "v", F.spark_partition_id().alias("bkt")
+    # localCheckpoint, not parquet scratch (round-12): the bucketed rows
+    # feed two jobs (bucket counts, then the selection) and the range
+    # boundaries are SAMPLED — re-executing the exchange could draw
+    # different boundaries per job, so the bucket assignment must be
+    # snapshotted once.  Block-manager materialization of 2.9M narrow
+    # (v, bkt) rows replaces the parquet write+read round-trip.
+    withb = (
+        slopes.repartitionByRange(nb, F.col("v"))
+        .select("v", F.spark_partition_id().alias("bkt"))
+        .localCheckpoint()
     )
+    # Bucket counts are <=64 rows — pull them to the driver and do the
+    # prefix-sum there, then rank ONLY inside the <=2 buckets that
+    # contain global positions k1/k2 (round-12: the previous plan
+    # row_number'd all 2.9M rows and round-tripped them through scratch
+    # parquet just to read back the two target rows; ~98% of that sort
+    # work selected nothing).  Partition ids are monotone in v by the
+    # RangePartitioner contract and equal values never straddle a
+    # boundary, so offset + in-bucket rank IS the global position.
+    counts = {
+        r["bkt"]: r["cnt"]
+        for r in withb.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offs: dict[int, int] = {}
+    run = 0
+    for bkt in sorted(counts):
+        offs[bkt] = run
+        run += counts[bkt]
+    targets: dict[int, int] = {}
+    for k in (k1, k2):
+        for bkt in sorted(counts):
+            if offs[bkt] < k <= offs[bkt] + counts[bkt]:
+                targets[bkt] = offs[bkt]
+                break
+    off_col = F.lit(None).cast("bigint")
+    for bkt, o in targets.items():
+        off_col = F.when(F.col("bkt") == bkt, F.lit(o)).otherwise(off_col)
     wb = Window.partitionBy("bkt").orderBy("v")
-    ranked_path = scratch_dir("theilsen") + "/ranked"
-    withb.withColumn("rn", F.row_number().over(wb)).write.mode(
-        "overwrite"
-    ).parquet(ranked_path)
-    ranked = spark.read.parquet(ranked_path)
-    btot = ranked.groupBy("bkt").agg(F.max("rn").alias("tc"))
-    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    off = btot.select(
-        "bkt", F.coalesce(F.sum("tc").over(woff), F.lit(0)).alias("offc")
-    )
     sel = (
-        ranked.join(F.broadcast(off), "bkt")
-        .withColumn("pos", F.col("offc") + F.col("rn"))
+        withb.filter(F.col("bkt").isin(list(targets)))
+        .withColumn("pos", off_col + F.row_number().over(wb))
         .filter((F.col("pos") == k1) | (F.col("pos") == k2))
         .agg(
             F.min(F.when(F.col("pos") == k1, F.col("v"))).alias("v1"),

@@ -79,18 +79,20 @@ def test_theil_sen_matches_exact_integer_replay(spark):
 
 
 def test_theil_sen_plan_shapes(spark):
-    """The returned plan reads only the materialized ranked scratch
+    """The returned plan reads only the checkpointed bucketed slopes
     (orders was reduced to the calendar-bounded daily rows at build
-    time and the pair join + ranking ran inside the scratch-write
-    job); selection is the broadcast hash join against the ≤64-row
-    offset table plus a two-row filter — no fact rescan, no Python,
-    no nested loop of any kind in the returned plan."""
+    time and the pair join + range bucketing ran inside the checkpoint
+    job); selection filters to the ≤2 target buckets, ranks only
+    those, and attaches the bucket offsets as LITERALS (round-12 —
+    no offset-table join at all) — no fact rescan, no Python, no
+    nested loop, no join of any kind in the returned plan."""
     plan = _plan(spark, "timeseries_theil_sen")
     assert "orders.parquet" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # bkt offset attach
+    assert "Join" not in plan  # offsets are literals, not a join
+    assert "Window" in plan  # in-bucket rank over the target buckets
 
 
 # ---------------------------------------------------------------------------
