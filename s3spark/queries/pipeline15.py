@@ -231,8 +231,6 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     table at any point.  The oracle uses the direct single-window
     formulation; equality of the two IS the two-level scheme's
     correctness proof."""
-    from s3spark.io import scratch_dir
-
     orders = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
     v = orders.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -244,12 +242,16 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-stats aggregate, the per-bucket windows, AND the bucket
     # totals — Spark plans are trees, so without the lineage break the
     # fact would be scanned once per consumer (pagerank lesson).
-    cell_path = scratch_dir("ks") + "/cells"
-    v.groupBy("v").agg(
-        F.sum("is_a").cast("bigint").alias("ca"),
-        F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
-    ).write.mode("overwrite").parquet(cell_path)
-    cell = spark.read.parquet(cell_path)
+    # localCheckpoint, not parquet scratch (round-12): block-manager
+    # materialization drops the write job + disk round-trip.
+    cell = (
+        v.groupBy("v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("ca"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("cb"),
+        )
+        .localCheckpoint()
+    )
     # 1-row value-range stats → deterministic bucket id per cell
     # (integer `div` on both engines — CAST(double) rounds on DuckDB
     # and truncates on Spark, the known binning gotcha)
@@ -289,18 +291,21 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = "decimal(38,0)"
     # Materialize the per-value scaled-diff table for the same reason:
-    # the max, argmax, and summary aggregates all consume it.
-    d_path = scratch_dir("ks") + "/diffs"
-    local.join(F.broadcast(off), "bkt").select(
-        "v",
-        "na",
-        "nb",
-        F.abs(
-            (F.col("offa") + F.col("la")).cast(big) * F.col("nb")
-            - (F.col("offb") + F.col("lb")).cast(big) * F.col("na")
-        ).alias("dscaled"),
-    ).write.mode("overwrite").parquet(d_path)
-    d = spark.read.parquet(d_path)
+    # the max, argmax, and summary aggregates all consume it (same
+    # localCheckpoint-over-parquet swap).
+    d = (
+        local.join(F.broadcast(off), "bkt")
+        .select(
+            "v",
+            "na",
+            "nb",
+            F.abs(
+                (F.col("offa") + F.col("la")).cast(big) * F.col("nb")
+                - (F.col("offb") + F.col("lb")).cast(big) * F.col("na")
+            ).alias("dscaled"),
+        )
+        .localCheckpoint()
+    )
     mx = d.agg(F.max("dscaled").alias("dmax"))
     arg = (
         d.crossJoin(F.broadcast(mx))

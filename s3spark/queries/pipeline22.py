@@ -43,19 +43,20 @@ _BA_MINSUP = 3  # pairs below 3 co-orders are noise at every fixture SF
 # divisions out.  n_a/n_b >= 1 by pair existence, n >= 1 likewise —
 # no zero-denominator branch is reachable, and an empty basket table
 # emits zero rows rather than dividing.
-_BA_QUERY = """
-WITH baskets AS (
-  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
-  FROM {LI} l JOIN {PT} p ON l.l_partkey = p.p_partkey
-),
-nord AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM baskets),
+# The post-basket aggregation, parameterized on the basket relation:
+# the oracle splices the basket CTE in; the engine points {BK} at a
+# checkpointed temp view instead (see basket_association_lift — Spark
+# INLINES a deterministic CTE once per reference, and this text reads
+# the baskets four times).
+_BA_TAIL = """
+WITH nord AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM {BK}),
 item_n AS (
-  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY item
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM {BK} GROUP BY item
 ),
 pair_n AS (
   SELECT a.item AS item_a, b.item AS item_b,
          CAST(COUNT(*) AS BIGINT) AS n_both
-  FROM baskets a JOIN baskets b
+  FROM {BK} a JOIN {BK} b
     ON a.okey = b.okey AND a.item < b.item
   GROUP BY 1, 2
 )
@@ -72,6 +73,16 @@ CROSS JOIN nord
 WHERE p.n_both >= {MINSUP}
 ORDER BY p.item_a, p.item_b
 """
+
+_BA_QUERY = (
+    """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM {LI} l JOIN {PT} p ON l.l_partkey = p.p_partkey
+),
+"""
+    + _BA_TAIL.replace("{BK}", "baskets").lstrip("\n").removeprefix("WITH ")
+)
 
 _BA_ORACLE = _BA_QUERY.format(LI="lineitem", PT="part", MINSUP=_BA_MINSUP)
 
@@ -92,19 +103,28 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine shape: lineitem⋈part is the star-join edge (hash join;
     the brand dim projects to 2 columns before the join); the
     DISTINCT basket table is one (okey, item) shuffle with map-side
-    combine; the pair self-join keys on okey, so fan-out per order is
-    bounded by the 25-brand item space (≤300 pairs/order worst case,
-    ~6 typical) — linear in orders at 100 TB, never all-pairs across
-    the corpus.  Marginals (25 rows) and the 1-row total broadcast;
-    output is ≤ C(25,2) = 300 rows, so the final sort is bounded."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "p22_ba_lineitem"
-    )
-    table(spark, sf_dir, "part").createOrReplaceTempView("p22_ba_part")
-    return spark.sql(
-        _BA_QUERY.format(
-            LI="p22_ba_lineitem", PT="p22_ba_part", MINSUP=_BA_MINSUP
+    combine, materialized ONCE via localCheckpoint (round-12: the SQL
+    text reads baskets four times — total, marginals, both self-join
+    sides — and Spark inlines a deterministic CTE per reference, so
+    the star join + distinct ran 4×); the pair self-join keys on
+    okey, so fan-out per order is bounded by the 25-brand item space
+    (≤300 pairs/order worst case, ~6 typical) — linear in orders at
+    100 TB, never all-pairs across the corpus.  Marginals (25 rows)
+    and the 1-row total broadcast; output is ≤ C(25,2) = 300 rows, so
+    the final sort is bounded."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item")
         )
+        .distinct()
+        .localCheckpoint()
+    )
+    baskets.createOrReplaceTempView("p22_ba_baskets")
+    return spark.sql(
+        _BA_TAIL.format(BK="p22_ba_baskets", MINSUP=_BA_MINSUP)
     )
 
 

@@ -1002,27 +1002,31 @@ def scan_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFram
         out
     )
     spark.catalog.refreshByPath(out)
-    # explicit schema on both listings: an empty commit writes no
-    # partitions to infer from (round-9 empty-input sweep)
+    # explicit schema on the incremental read: an empty commit writes
+    # no partitions to infer from (round-9 empty-input sweep)
     sch = hist.schema
-    before = {
-        r["f"]
-        for r in spark.read.schema(sch)
-        .parquet(out)
-        .select(F.col("_metadata.file_path").alias("f"))
-        .distinct()
-        .collect()
-    }
+    # Manifest listings are DRIVER-SIDE metadata ops (round-12): the
+    # previous shape ran a full Spark job per listing — scan every row
+    # of the committed table, project _metadata.file_path, distinct,
+    # collect — twice, just to enumerate file names a local walk
+    # returns from the directory inodes.  A real manifest diff reads
+    # the table format's metadata, never the data files.
+    import os
+
+    def _commit_files(root: str) -> set:
+        found = set()
+        for dirpath, _dirs, files in os.walk(root):
+            found.update(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return found
+
+    before = _commit_files(out)
     delta.repartition("fb").write.partitionBy("fb").mode("append").parquet(out)
     spark.catalog.refreshByPath(out)
-    after = {
-        r["f"]
-        for r in spark.read.schema(sch)
-        .parquet(out)
-        .select(F.col("_metadata.file_path").alias("f"))
-        .distinct()
-        .collect()
-    }
+    after = _commit_files(out)
     new_files = sorted(after - before)
     # an empty delta commit appends zero files — the incremental scan
     # of nothing is an explicit empty relation, not a reader error

@@ -367,17 +367,23 @@ def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Degree annotation is a WINDOW count over src, not groupBy+join
+    # (round-12): the join form put the edge subtree on both sides, so
+    # the scan + distinct ran twice inside the materialization job, and
+    # it paid two shuffles (agg + join) where the window pays one.
     # Checkpoint the degree-annotated edge list: every later reference
     # to `ed` re-expands its whole lineage (Spark plans are trees, not
     # DAGs), so two unrolled iterations would scan + dedup lineitem
-    # four times.  Materializing iteration state to storage is the
-    # standard lineage-break for iterative Spark jobs — the raw input
-    # is read ONCE, and both iterations re-read only the compact
-    # (src, dst, outdeg) table.
-    ed_path = scratch_dir("pagerank") + "/edges"
-    edges.join(deg, "src").write.mode("overwrite").parquet(ed_path)
-    ed = spark.read.parquet(ed_path)
+    # four times.  localCheckpoint (block manager, spills under
+    # pressure) replaces the round-9 parquet scratch round-trip — the
+    # raw input is read ONCE, and both iterations re-read only the
+    # compact in-memory (src, dst, outdeg) table.
+    from pyspark.sql import Window
+
+    wdeg = Window.partitionBy("src")
+    ed = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(wdeg)
+    ).localCheckpoint()
 
     r1 = ed.groupBy("dst").agg(
         (

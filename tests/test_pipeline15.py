@@ -138,15 +138,17 @@ def test_ks_matches_exact_integer_replay(spark):
 def test_ks_plan_never_single_partition_sorts_cells(spark):
     """The distinct-value cell table must NEVER pass through a global
     unpartitioned window: the cumsum is per-bucket windows (partitioned
-    by bkt) plus a ≤64-row offset table.  The write-side jobs carry the
-    windows, so gate the WRITE plan via explain of the local stage and
-    the returned plan for the cheap tail reads."""
+    by bkt) plus a ≤64-row offset table.  The checkpoint jobs carry the
+    windows, so gate the returned plan for the cheap tail reads and
+    rebuild the mid-pipeline window stage over an equivalent cell
+    table (round-12: the cells are a localCheckpoint now, not parquet
+    scratch, so derive them from orders directly)."""
     import re
 
-    from s3spark.io import scratch_dir, table
+    from s3spark.io import table
 
-    # returned plan: reads the materialized diff table only — the fact
-    # is scanned exactly once, inside the cell write job
+    # returned plan: reads the checkpointed diff table only — the fact
+    # is scanned exactly once, inside the cell checkpoint job
     plan = _plan(spark, "stats_ks_two_sample")
     assert "orders.parquet" not in plan
     assert "BatchEvalPython" not in plan
@@ -154,7 +156,19 @@ def test_ks_plan_never_single_partition_sorts_cells(spark):
     # rebuild the mid-pipeline window stage the operator executes and
     # assert its Window is partitioned by the bucket id (the two-level
     # scheme), not a global ORDER BY over all cells
-    cell = spark.read.parquet(scratch_dir("ks") + "/cells")
+    cell = (
+        table(spark, SF, "orders")
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(F.sum("is_a").cast("bigint").alias("ca"))
+    )
     assert cell.count() > 1000  # distinct order values at sf0.01
     from pyspark.sql import Window
 

@@ -574,14 +574,16 @@ def test_zorder_is_codegen_bitmath_with_range_partitioning(spark, sf_dir):
 def test_pagerank_single_scan_and_partial_sums(spark, sf_dir):
     """graph_pagerank_unrolled: iteration state (the degree-annotated
     edge list) must be checkpointed — the final plan reads ONLY the
-    materialized edge table (once per unrolled iteration), never the
-    raw lineitem input, whose scan/dedup would otherwise re-expand 4x
-    through the unrolled lineage.  Contributions must partial-sum
-    map-side and the top-20 must be a TakeOrderedAndProject, not a
-    global sort."""
+    materialized edge table (once per unrolled iteration; a
+    block-manager ExistingRDD since round-12, previously parquet
+    scratch), never the raw lineitem input, whose scan/dedup would
+    otherwise re-expand 4x through the unrolled lineage.
+    Contributions must partial-sum map-side and the top-20 must be a
+    TakeOrderedAndProject, not a global sort."""
     plan = plan_of(spark, sf_dir, "graph_pagerank_unrolled")
     assert "lineitem" not in plan
-    assert plan.count("FileScan parquet") == 2  # ed in r1 + ed in r2
+    assert "FileScan" not in plan  # nothing re-reads the raw input
+    assert plan.count("Scan ExistingRDD") == 2  # ed in r1 + ed in r2
     assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
 
