@@ -251,12 +251,12 @@ codes AS (
 )"""
 
 
-def _pq_assign_sql(el) -> str:
+def _pq_assign_sql(el, pc_source: str | None = None) -> str:
     distortion = " + ".join(f"mn_{m}" for m in range(_PQ_M))
     code_cols = ", ".join(
         f"CAST(c.code_{m} AS INT) AS code_{m}" for m in range(_PQ_M)
     )
-    return f"""{_pq_prefix_sql(el)}
+    return f"""{_pq_prefix_sql(el, pc_source)}
 SELECT c.vec_id, {code_cols},
        ROUND({distortion}, 6) AS distortion
 FROM codes c JOIN mins m ON m.vec_id = c.vec_id
@@ -285,11 +285,26 @@ def sim_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     FULL value oracle, bitwise: both engines run the same SQL text
     modulo the element accessor (``_pq_prefix_sql``); argmin ties
-    break to the smaller cent_id by MIN over the equality CASE."""
+    break to the smaller cent_id by MIN over the equality CASE.
+
+    The pc relation feeds TWO consumers here (mins, codes join) and
+    Spark inlines CTEs — materialized once via localCheckpoint like
+    the e2e path (round-12); values identical by construction."""
+    el = lambda i: f"element_at(embedding, {i})"  # noqa: E731
     table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "p24_pq_embeddings"
     )
-    sql = _pq_assign_sql(lambda i: f"element_at(embedding, {i})").replace(
+    pc = (
+        spark.sql(
+            _pq_pc_standalone_sql(el).replace(
+                "FROM embeddings", "FROM p24_pq_embeddings"
+            )
+        )
+        .repartition(8, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pc.createOrReplaceTempView("p24_assign_pc")
+    sql = _pq_assign_sql(el, pc_source="p24_assign_pc").replace(
         "FROM embeddings", "FROM p24_pq_embeddings"
     )
     return spark.sql(sql)
@@ -373,7 +388,7 @@ ORDER BY query_id, rn
 """
 
 
-def _pq_adc_sql(el) -> str:
+def _pq_adc_sql(el, pc_source: str | None = None) -> str:
     """ADC search text on top of ``_pq_prefix_sql``: per-query lookup
     tables are the query's own pc rows pivoted wide (LUT[m][k] =
     ||sub_m(q) - C[m][k]||², already computed for encoding);
@@ -383,7 +398,7 @@ def _pq_adc_sql(el) -> str:
     to top-{_PQ_TOPK}."""
     lut_cols = _pq_lut_cols()
     adist = _pq_adist()
-    return f"""{_pq_prefix_sql(el)},
+    return f"""{_pq_prefix_sql(el, pc_source)},
 qlut AS (
   SELECT vec_id AS query_id, {lut_cols}
   FROM pc WHERE vec_id < {_PQ_QUERIES} GROUP BY vec_id
@@ -423,11 +438,27 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     FULL value oracle, bitwise-portable (shared SQL text modulo the
     element accessor); candidate-generation recall vs exact search is
-    measured in tests/test_pipeline24.py and SCALE_STRESS."""
+    measured in tests/test_pipeline24.py and SCALE_STRESS.
+
+    The pc relation feeds THREE consumers here (mins, codes join,
+    query LUTs) and Spark inlines CTEs — materialized once via
+    localCheckpoint like the e2e path (round-12); values identical by
+    construction."""
+    el = lambda i: f"element_at(embedding, {i})"  # noqa: E731
     table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "p24_pq_embeddings"
     )
-    sql = _pq_adc_sql(lambda i: f"element_at(embedding, {i})").replace(
+    pc = (
+        spark.sql(
+            _pq_pc_standalone_sql(el).replace(
+                "FROM embeddings", "FROM p24_pq_embeddings"
+            )
+        )
+        .repartition(8, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pc.createOrReplaceTempView("p24_adc_pc")
+    sql = _pq_adc_sql(el, pc_source="p24_adc_pc").replace(
         "FROM embeddings", "FROM p24_pq_embeddings"
     )
     return spark.sql(sql)

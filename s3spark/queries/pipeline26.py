@@ -169,7 +169,15 @@ def sim_ivfpq_persisted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = scratch_dir("ivfpq_index") + "/embeddings_ivfpq"
-    index.write.partitionBy("cluster_id").mode("overwrite").parquet(out)
+    # One file per posting list (round-12, guide §6): without the
+    # cluster_id clustering each of the 8 upstream tasks writes a
+    # sliver into every partition directory (up to 8x16 files); the
+    # hash repartition puts each cluster wholly in one task so the
+    # layout is 16 single-file posting lists — fewer commits on write,
+    # one open per probed list on read.
+    index.repartition(16, "cluster_id").write.partitionBy(
+        "cluster_id"
+    ).mode("overwrite").parquet(out)
     spark.catalog.refreshByPath(out)
 
     # -- 2. PROBE: coarse-rank the codebook per query driver-side.
