@@ -379,8 +379,6 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one stage to swap: approx_percentile(…, 1e-4) is the declared
     sketch alternative — the scores change only for customers within
     the sketch error of a boundary."""
-    from s3spark.io import scratch_dir
-
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -392,14 +390,21 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary_cents"),
     )
     ref = percust.agg(F.max("last_d").alias("max_d"))
-    rfm_path = scratch_dir("rfm") + "/percust"
-    percust.crossJoin(F.broadcast(ref)).select(
-        "custkey",
-        "frequency",
-        "monetary_cents",
-        F.datediff(F.col("max_d"), F.col("last_d")).cast("bigint").alias("recency_days"),
-    ).write.mode("overwrite").parquet(rfm_path)
-    r = spark.read.parquet(rfm_path)
+    # localCheckpoint, not parquet scratch (round-12): same lineage
+    # break for the multi-consumer per-customer table, minus the write
+    # job + disk round-trip.
+    r = (
+        percust.crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            "frequency",
+            "monetary_cents",
+            F.datediff(F.col("max_d"), F.col("last_d"))
+            .cast("bigint")
+            .alias("recency_days"),
+        )
+        .localCheckpoint()
+    )
     b = r.agg(
         F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
         F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import scratch_dir, table
+from s3spark.io import table
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -220,8 +220,9 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy().limit() → TakeOrderedAndProject, a distributed partial
     top-K (never a single-partition window)."""
     docs = table(spark, sf_dir, "documents").select("text")
-    ph_path = scratch_dir("rake") + "/phrases"
-    (
+    # localCheckpoint, not parquet scratch (round-12): same lineage
+    # break, no write job + disk round-trip.
+    inst = (
         # NB: Spark SQL string literals eat single backslashes, so the
         # \b word boundaries are doubled here; DuckDB literals do not.
         docs.selectExpr(
@@ -229,10 +230,8 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("trim(regexp_replace(p, ' +', ' ')) AS phrase")
         .where("phrase <> ''")
-        .write.mode("overwrite")
-        .parquet(ph_path)
+        .localCheckpoint()
     )
-    inst = spark.read.parquet(ph_path)
     words = inst.selectExpr(
         "explode(split(phrase, ' ')) AS w",
         "CAST(size(split(phrase, ' ')) AS BIGINT) AS plen",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from s3spark.io import scratch_dir, table
+from s3spark.io import table
 from s3spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -709,11 +709,11 @@ def agg_hll_hand_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         "CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END AS rho",
     )
-    regs_path = scratch_dir("hll16") + "/regs"
-    rr.groupBy("grp", "idx").agg(F.max("rho").alias("m")).write.mode(
-        "overwrite"
-    ).parquet(regs_path)
-    regs = spark.read.parquet(regs_path)
+    # localCheckpoint, not parquet scratch (round-12): same lineage
+    # break for the multi-consumer register table, no disk round-trip.
+    regs = (
+        rr.groupBy("grp", "idx").agg(F.max("rho").alias("m")).localCheckpoint()
+    )
     merged = (
         regs.where(F.col("grp").like("ord:%"))
         .groupBy("idx")
