@@ -71,16 +71,35 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated shingles (same guard family as the trigram builders)."""
     d = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 8),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8)),
-    )
     # hash BEFORE distinct: the shuffle for distinct then also carries
-    # 8-byte keys, and the string never leaves the scan stage
+    # 8-byte keys, and the string never leaves the scan stage.
+    # Round-13 (guide §4.1, the round-12 explode_shingles lesson): the
+    # 8-gram used to be assembled by a transform() lambda — which
+    # Spark evaluates INTERPRETED per element — into a ~50-byte string
+    # that was then xxhash64'd.  Now the index sequence explodes first
+    # and the EIGHT TOKENS feed one multi-argument xxhash64 directly
+    # in whole-stage codegen: the n-gram string is never built at all.
+    # Key equivalence: tokens contain no spaces (they come from a
+    # single-space split), so token-tuple ↔ joined string is a
+    # bijection, and a multi-arg xxhash64 folds each token with the
+    # running hash as seed — distinct tuples give distinct hashes with
+    # the same ~n²/2⁶⁵ collision odds the single-string hash already
+    # carried (docstring above).  Declared outputs are counts over
+    # these keys and are value-identical (oracle-verified at every SF).
+    terms = [
+        F.expr(f"__w[__i+{k}]") if k else F.expr("__w[__i]")
+        for k in range(8)
+    ]
     ng = (
         d.filter(F.size(w) >= 8)
-        .select("doc_id", "source", F.explode(ngrams).alias("ngram"))
-        .select("doc_id", "source", F.xxhash64("ngram").alias("ngh"))
+        .select("doc_id", "source", w.alias("__w"))
+        .select(
+            "doc_id",
+            "source",
+            "__w",
+            F.explode(F.sequence(F.lit(0), F.size("__w") - 8)).alias("__i"),
+        )
+        .select("doc_id", "source", F.xxhash64(*terms).alias("ngh"))
         .distinct()
     )
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
@@ -183,13 +202,35 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate domain (doc_id < 500) matches the bounded exact
     verifier; the production path swaps in the unbounded MinHash
     edges upstream, identical from the labels onward."""
-    labels = dedup_clusters(spark, sf_dir)
-    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
+    from s3spark.queries.llm import cluster_drop_ids, dedup_ngram_jaccard
+
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # Round-13 (round-12 verdict item 1 applied family-wide): the drop
+    # set comes out of the SAME capped edge collect the cluster path
+    # runs — keep it driver-local and select survivors with one
+    # in-set predicate instead of re-shipping the driver's list as a
+    # createDataFrame → broadcast-exchange build.  Null guard mirrors
+    # the anti-join's null-keeping semantics; past the edge cap or a
+    # 100k drop list the broadcast anti-join remains the 100 TB shape.
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    drops = cluster_drop_ids(spark, pairs)
+    if drops is not None and len(drops) <= 100_000:
+        survivors = (
+            d.filter(
+                ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
+            )
+            if drops
+            else d
+        )
+        return survivors.select("doc_id", "source", "n_chars").orderBy(
+            "doc_id"
+        )
+    labels = dedup_clusters(spark, sf_dir)
+    drops_df = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
     return (
-        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        d.join(F.broadcast(drops_df), "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )

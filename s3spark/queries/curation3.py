@@ -145,7 +145,10 @@ def _e2e_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster_labels executes eagerly for its capped edge collect) and
     # the final survivor anti-join — so the whole quality +
     # decontaminate chain ran twice; the checkpoint holds the clean
-    # (doc_id, source, text, n_chars) rows once.
+    # (doc_id, source, text, n_chars) rows once.  Cluster-scale
+    # durability: this is a CORPUS-SIZED relation — see the central
+    # localCheckpoint note in s3spark/queries/_prefix.py; at 100 TB
+    # use reliable checkpoint() or accept recompute-on-executor-loss.
     return train.join(
         F.broadcast(contaminated), "doc_id", "left_anti"
     ).localCheckpoint()
@@ -157,15 +160,28 @@ def _e2e_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors-equivalence test can pin this bounded drop set against
     the unbounded ``dedup_minhash_survivors`` path without
     duplicating the pipeline."""
+    from s3spark.queries.llm import cluster_drop_ids
+
     clean = _e2e_clean(spark, sf_dir)
     pairs = jaccard_pairs(
         clean.filter(F.col("doc_id") < 500).select("doc_id", "text")
     ).select("doc_a", "doc_b")
+    # Round-13 drop-list fold (see dedup_minhash_survivors below):
+    # the capped edge collect already puts the drop set on the
+    # driver; filter with it directly instead of a second label
+    # round-trip through createDataFrame + broadcast exchange.
+    drops = cluster_drop_ids(spark, pairs)
+    if drops is not None and len(drops) <= 100_000:
+        if not drops:
+            return clean
+        return clean.filter(
+            ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
+        )
     labels = cluster_labels(spark, pairs)
-    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
-    return clean.join(F.broadcast(drops), "doc_id", "left_anti")
+    drops_df = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return clean.join(F.broadcast(drops_df), "doc_id", "left_anti")
 
 
 @register("curation_pipeline_e2e", oracle=_E2E_SQL)
@@ -306,16 +322,37 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — is engine-checked end-to-end.  tests/test_llm.py
     additionally bounds it behaviorally against the exact survivor
     set on the shared domain."""
-    from s3spark.queries.llm import dedup_fuzzy_minhash
+    from s3spark.queries.llm import cluster_drop_ids, dedup_fuzzy_minhash
 
     pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    labels = cluster_labels(spark, pairs)
-    drops = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
     d = table(spark, sf_dir, "documents")
+    # Round-13 (round-12 verdict item 1, guide §2.4/§3): the survivor
+    # anti-join's probe set is computed from the SAME capped edge
+    # collect the cluster path runs — previously the driver list went
+    # back out as a createDataFrame → filter → broadcast-exchange
+    # build, a second JVM job cascade re-deriving a set the driver
+    # already held.  Now the drop list stays driver-local and the
+    # survivor selection is ONE scan with an in-set predicate (the
+    # null guard mirrors the anti-join's null-keeping semantics, and
+    # the bounded-literal ceiling keeps the plan small — beyond it,
+    # or past the edge cap, the broadcast anti-join fallback is the
+    # 100 TB shape).
+    drops = cluster_drop_ids(spark, pairs)
+    if drops is not None and len(drops) <= 100_000:
+        survivors = (
+            d.filter(
+                ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
+            )
+            if drops
+            else d
+        )
+        return survivors.select("doc_id", "source", "n_chars")
+    labels = cluster_labels(spark, pairs)
+    drops_df = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
     return (
-        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        d.join(F.broadcast(drops_df), "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
 

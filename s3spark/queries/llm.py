@@ -263,7 +263,10 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the executed plan, once per join side, with no ReusedExchange
     # (the broadcast side wraps a BroadcastExchange, which never
     # reuses a shuffle).  The checkpoint holds one narrow row per doc
-    # (doc_id + 12 hex components).
+    # (doc_id + 12 hex components).  Cluster-scale durability: this is
+    # a CORPUS-SIZED relation (one row per document) — see the central
+    # localCheckpoint note in s3spark/queries/_prefix.py; at 100 TB use
+    # reliable checkpoint() or accept recompute-on-executor-loss.
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(
@@ -906,6 +909,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_labels(spark, pairs)
 
 
+def _driver_union_find(edge_rows) -> dict[int, int]:
+    """Union-find with path compression over collected (doc_a, doc_b)
+    edge rows → {doc: component root (min doc_id)}.  Shared by
+    ``cluster_labels`` and ``cluster_drop_ids`` so the survivor path
+    reuses the exact label computation the cluster path declares."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row.doc_a, row.doc_b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {doc: find(doc) for doc in parent}
+
+
+def cluster_drop_ids(spark: SparkSession, pairs: DataFrame) -> list | None:
+    """Driver-local DROP list for the survivor keys: doc_ids whose
+    component root is another doc (round-13, round-12 verdict item 1).
+    Returns a sorted Python list when the edge set fits
+    ``_EDGE_DRIVER_CAP`` (the common case — the pair graph survived
+    banding + a 0.5 threshold, so it is dup_rate × corpus, orders of
+    magnitude below the corpus), else ``None`` and the caller falls
+    back to ``cluster_labels``'s distributed path.  Folding the
+    survivor selection into the SAME collect job's result avoids a
+    second label-relation round-trip (createDataFrame → broadcast
+    exchange build) purely to re-derive a set the driver already
+    holds."""
+    edge_rows = pairs.limit(_EDGE_DRIVER_CAP + 1).collect()
+    if len(edge_rows) > _EDGE_DRIVER_CAP:
+        return None
+    roots = _driver_union_find(edge_rows)
+    return sorted(doc for doc, root in roots.items() if root != doc)
+
+
 def cluster_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     """Connected components over an arbitrary (doc_a, doc_b) pair
     graph → (doc_id, cluster_id=min doc_id of component).  The
@@ -914,24 +961,8 @@ def cluster_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     _EDGE_DRIVER_CAP edges, distributed min-label propagation above."""
     edge_rows = pairs.limit(_EDGE_DRIVER_CAP + 1).collect()
     if len(edge_rows) <= _EDGE_DRIVER_CAP:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in edge_rows:
-            a, b = row.doc_a, row.doc_b
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        labels = sorted((doc, find(doc)) for doc in parent)
+        roots = _driver_union_find(edge_rows)
+        labels = sorted(roots.items())
         return spark.createDataFrame(
             labels, "doc_id long, cluster_id long"
         ).orderBy("doc_id")

@@ -318,7 +318,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query the materialization is a lineage cut, and the block-manager
     # form skips the parquet encode + fs round-trip; the PRODUCTION
     # incremental form persists this table between runs (that durable
-    # variant is what the docstring's signature store names)
+    # variant is what the docstring's signature store names).
+    # Corpus-sized relation: see the central localCheckpoint
+    # durability note in s3spark/queries/_prefix.py.
     sig = sig.localCheckpoint()
     band_structs = F.array(
         *[

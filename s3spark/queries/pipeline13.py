@@ -494,21 +494,41 @@ FROM u ORDER BY relationship
 
 def _orphan_audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str,
                   relationship: str, broadcast_dim: bool) -> DataFrame:
-    """One relationship audit: LEFT JOIN the distinct dim keys and
-    count rows/keys whose probe found no match.  The dim side reduces
-    to its key column before the join, so the build is key-only."""
+    """One relationship audit: pre-aggregate the fact by its FK, LEFT
+    JOIN the distinct dim keys onto the KEY-LEVEL rows, and reduce.
+
+    Round-13 restructure (guide §2.3 "aggregate before you shuffle" /
+    §2.4): the previous shape joined at FACT-row granularity and then
+    ran two COUNT(DISTINCT ...) over the joined rows — an Expand node
+    that tripled every fact row before aggregation (plan pair in
+    plans/r13/).  Grouping the fact to (fk, row-count) first is a
+    map-side-combinable aggregate that compresses the join probe side
+    to |distinct keys|, after which every former DISTINCT is a plain
+    count over groups: n_rows = Σ cnt, n_keys = COUNT(*), orphan_rows
+    = Σ cnt over unmatched, orphan_keys = COUNT(*) unmatched.  Exact
+    integers, value-identical by construction; at 100 TB the join and
+    the Expand both drop from corpus-sized to key-sized."""
+    per_key = fact.groupBy(F.col(fk).alias("__fk")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     keys = dim.select(F.col(pk).alias("__pk")).distinct()
     if broadcast_dim:
         keys = F.broadcast(keys)
-    j = fact.join(keys, F.col(fk) == F.col("__pk"), "left")
+    j = per_key.join(keys, F.col("__fk") == F.col("__pk"), "left")
+    orphan = F.col("__pk").isNull()
+    # COUNT(DISTINCT fk) semantics: a NULL fk contributes to row
+    # counts but never to key counts — F.count("__fk") skips the NULL
+    # group and the orphan_keys guard mirrors it, so the key-level
+    # rewrite is value-identical even on null-bearing feeds.
     return j.agg(
         F.lit(relationship).alias("relationship"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(F.col(fk)).alias("n_keys"),
-        F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)).cast("bigint")
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+        F.count(F.col("__fk")).alias("n_keys"),
+        F.sum(F.when(orphan, F.col("__cnt")).otherwise(0)).cast("bigint")
         .alias("orphan_rows"),
-        F.countDistinct(F.when(F.col("__pk").isNull(), F.col(fk)))
-        .alias("orphan_keys"),
+        F.sum(
+            F.when(orphan & F.col("__fk").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("orphan_keys"),
     ).select("relationship", "n_rows", "n_keys", "orphan_rows", "orphan_keys")
 
 

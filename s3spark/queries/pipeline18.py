@@ -317,18 +317,28 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is one shared-text division of the decimal sum.
 
     Engine shape: trigram explode rides the scan into ONE distinct
-    (doc,trigram) shuffle; the df aggregate is map-side-combined on
-    the trigram key; the df join back to shingles is the one
-    fact-wide equi-join shuffle (both sides already partitioned by
-    trigram — no extra exchange); per-doc and per-source aggregates
-    are bounded by |docs| and |sources|.  Sub-3-word documents carry
-    no trigrams and are excluded from scoring on both engines."""
+    (doc,trigram) shuffle; document frequencies attach as a window
+    count over the trigram key (round 13 — one exchange, one
+    execution of the shingle subtree, instead of the old groupBy +
+    join-back that replayed it on both sides); per-doc and per-source
+    aggregates are bounded by |docs| and |sources|.  Sub-3-word
+    documents carry no trigrams and are excluded from scoring on both
+    engines."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # codegen shingle explosion (round-12; see _prefix.explode_shingles)
     sh = _explode_shingles(d, 3, out="trigram", keep=("source",)).distinct()
-    df = sh.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
+    # Round-13 (guide §2.4, the round-12 pagerank degree trick): the
+    # old shape computed df as a groupBy(trigram) AGGREGATE and then
+    # equi-joined it back onto sh — but sh fed BOTH join sides, so the
+    # scan → explode → distinct subtree executed twice, and the join
+    # added a second trigram exchange.  A window count over the same
+    # key is the identical exact integer per row with ONE exchange and
+    # ONE execution of the shingle subtree.
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("trigram"))
     per_doc = (
-        sh.join(df, "trigram")
+        sh.withColumn("df", df_w)
         .groupBy("doc_id", "source")
         .agg(
             F.sum(F.when(F.col("df") == 1, 1).otherwise(0))

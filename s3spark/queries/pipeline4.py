@@ -1008,20 +1008,17 @@ def scan_incremental_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFram
     # Manifest listings are DRIVER-SIDE metadata ops (round-12): the
     # previous shape ran a full Spark job per listing — scan every row
     # of the committed table, project _metadata.file_path, distinct,
-    # collect — twice, just to enumerate file names a local walk
-    # returns from the directory inodes.  A real manifest diff reads
-    # the table format's metadata, never the data files.
-    import os
+    # collect — twice, just to enumerate file names a metadata walk
+    # returns from the store's LIST API.  A real manifest diff reads
+    # the table format's metadata, never the data files.  The walk
+    # goes through the fs layer's Hadoop FileSystem listing (round-13,
+    # r12 ADVICE: the earlier os.walk only worked because scratch is
+    # local — on s3a:// scratch it would silently return an empty
+    # diff), so the same code lists any scheme.
+    from s3spark.fs import list_paths
 
     def _commit_files(root: str) -> set:
-        found = set()
-        for dirpath, _dirs, files in os.walk(root):
-            found.update(
-                os.path.join(dirpath, f)
-                for f in files
-                if f.endswith(".parquet")
-            )
-        return found
+        return set(list_paths(spark, root, suffix=".parquet"))
 
     before = _commit_files(out)
     delta.repartition("fb").write.partitionBy("fb").mode("append").parquet(out)

@@ -444,8 +444,24 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_V)
         .select("w")
     )
-    pres = tok.join(F.broadcast(vocab), "w").select("doc_id", "w").distinct()
-    dfreq = pres.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # localCheckpoint (round-13, guide §2.4): pres feeds THREE
+    # consumers — dfreq and both self-join sides — and Spark plans are
+    # trees, so the scan → explode → vocab-join → distinct subtree
+    # executed three times (the broadcast side wraps a
+    # BroadcastExchange, which never reuses a shuffle).  The
+    # checkpoint holds one narrow (doc_id, w) row per distinct
+    # presence, bounded by V per document.  dfreq is ≤V rows and also
+    # read twice (df_a / df_b broadcasts) — pin it too so neither
+    # broadcast replays the presence aggregate.
+    pres = (
+        tok.join(F.broadcast(vocab), "w")
+        .select("doc_id", "w")
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = (
+        pres.groupBy("w").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
+    )
     ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     a = pres.select("doc_id", F.col("w").alias("tok_a"))
     b = pres.select("doc_id", F.col("w").alias("tok_b"))

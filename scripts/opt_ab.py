@@ -1,4 +1,4 @@
-"""Same-session A/B harness for round-12 optimizations.
+"""Same-session A/B harness for round-12/13 optimizations.
 
 Loads a query module's committed version (``git show HEAD:<path>``)
 under a scratch module name alongside the working-tree version, then
@@ -7,8 +7,17 @@ collected rows (order-insensitive), and times interleaved noop-sink
 reps (guide §1.4) so JIT/codegen warmth is shared instead of biasing
 whichever variant runs first.
 
+Round-13 calibration: a HEAD-vs-HEAD null run (identical code on both
+sides) showed the fixed old→new rep order carries a SYSTEMATIC bias —
+identical plans read anywhere from 0.86x to 1.25x because whichever
+variant runs second in a pair inherits the first's warmth and dodges
+its cleanup.  The rep loop now ALTERNATES pair order (old→new,
+new→old, ...) so ordering effects cancel, and an even ``--reps``
+(default 6) balances the two orders exactly.  Wins below ~1.1x on
+noisy keys should additionally be confirmed against the null spread.
+
 Usage:
-    python scripts/opt_ab.py s3spark/queries/pipeline4.py dedup_semdedup [key2 ...] [--reps 4] [--ref REF]
+    python scripts/opt_ab.py s3spark/queries/pipeline4.py dedup_semdedup [key2 ...] [--reps 6] [--ref REF]
 """
 from __future__ import annotations
 
@@ -28,7 +37,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("module_path")
     ap.add_argument("keys", nargs="+")
-    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--ref", default="HEAD")
     args = ap.parse_args()
 
@@ -93,13 +102,14 @@ def main() -> None:
             sys.exit(1)
         print(f"{key}: values identical ({len(a)} rows)")
         old_t, new_t = [], []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            old_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            old_t.append(round(time.perf_counter() - t0, 3))
-            t0 = time.perf_counter()
-            new_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            new_t.append(round(time.perf_counter() - t0, 3))
+        for r in range(args.reps):
+            pair = [(old_fn, old_t), (new_fn, new_t)]
+            if r % 2 == 1:  # alternate order: cancels warmth/cleanup bias
+                pair.reverse()
+            for fn, acc in pair:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                acc.append(round(time.perf_counter() - t0, 3))
         om = sorted(old_t)[len(old_t) // 2]
         nm = sorted(new_t)[len(new_t) // 2]
         print(
