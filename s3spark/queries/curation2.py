@@ -202,28 +202,26 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate domain (doc_id < 500) matches the bounded exact
     verifier; the production path swaps in the unbounded MinHash
     edges upstream, identical from the labels onward."""
-    from s3spark.queries.llm import cluster_drop_ids, dedup_ngram_jaccard
+    from s3spark.queries.llm import (
+        apply_drop_list,
+        cluster_drop_ids,
+        dedup_ngram_jaccard,
+    )
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     # Round-13 (round-12 verdict item 1 applied family-wide): the drop
     # set comes out of the SAME capped edge collect the cluster path
-    # runs — keep it driver-local and select survivors with one
-    # in-set predicate instead of re-shipping the driver's list as a
-    # createDataFrame → broadcast-exchange build.  Null guard mirrors
-    # the anti-join's null-keeping semantics; past the edge cap or a
-    # 100k drop list the broadcast anti-join remains the 100 TB shape.
+    # runs — keep it driver-local; apply_drop_list dispatches in-set
+    # predicate vs LocalRelation broadcast anti-join by size (see
+    # llm.py).  Past the edge cap the distributed label path remains
+    # the 100 TB shape.
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     drops = cluster_drop_ids(spark, pairs)
-    if drops is not None and len(drops) <= 100_000:
-        survivors = (
-            d.filter(
-                ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
-            )
-            if drops
-            else d
-        )
-        return survivors.select("doc_id", "source", "n_chars").orderBy(
-            "doc_id"
+    if drops is not None:
+        return (
+            apply_drop_list(spark, d, drops)
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
         )
     labels = dedup_clusters(spark, sf_dir)
     drops_df = labels.filter(

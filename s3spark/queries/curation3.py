@@ -160,7 +160,7 @@ def _e2e_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors-equivalence test can pin this bounded drop set against
     the unbounded ``dedup_minhash_survivors`` path without
     duplicating the pipeline."""
-    from s3spark.queries.llm import cluster_drop_ids
+    from s3spark.queries.llm import apply_drop_list, cluster_drop_ids
 
     clean = _e2e_clean(spark, sf_dir)
     pairs = jaccard_pairs(
@@ -168,15 +168,11 @@ def _e2e_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
     # Round-13 drop-list fold (see dedup_minhash_survivors below):
     # the capped edge collect already puts the drop set on the
-    # driver; filter with it directly instead of a second label
-    # round-trip through createDataFrame + broadcast exchange.
+    # driver; apply_drop_list filters with it directly instead of a
+    # second label round-trip (size-dispatched, see llm.py).
     drops = cluster_drop_ids(spark, pairs)
-    if drops is not None and len(drops) <= 100_000:
-        if not drops:
-            return clean
-        return clean.filter(
-            ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
-        )
+    if drops is not None:
+        return apply_drop_list(spark, clean, drops)
     labels = cluster_labels(spark, pairs)
     drops_df = labels.filter(
         F.col("doc_id") != F.col("cluster_id")
@@ -322,31 +318,26 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — is engine-checked end-to-end.  tests/test_llm.py
     additionally bounds it behaviorally against the exact survivor
     set on the shared domain."""
-    from s3spark.queries.llm import cluster_drop_ids, dedup_fuzzy_minhash
+    from s3spark.queries.llm import (
+        apply_drop_list,
+        cluster_drop_ids,
+        dedup_fuzzy_minhash,
+    )
 
     pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
     d = table(spark, sf_dir, "documents")
     # Round-13 (round-12 verdict item 1, guide §2.4/§3): the survivor
-    # anti-join's probe set is computed from the SAME capped edge
-    # collect the cluster path runs — previously the driver list went
-    # back out as a createDataFrame → filter → broadcast-exchange
-    # build, a second JVM job cascade re-deriving a set the driver
-    # already held.  Now the drop list stays driver-local and the
-    # survivor selection is ONE scan with an in-set predicate (the
-    # null guard mirrors the anti-join's null-keeping semantics, and
-    # the bounded-literal ceiling keeps the plan small — beyond it,
-    # or past the edge cap, the broadcast anti-join fallback is the
-    # 100 TB shape).
+    # drop set is computed from the SAME capped edge collect the
+    # cluster path runs and stays driver-local; apply_drop_list picks
+    # in-set predicate vs LocalRelation broadcast anti-join by size
+    # (the 10x-docs panel caught a 48k-literal In blowing up plan
+    # analysis — see llm.apply_drop_list).  Past the edge cap the
+    # distributed label path below remains the 100 TB shape.
     drops = cluster_drop_ids(spark, pairs)
-    if drops is not None and len(drops) <= 100_000:
-        survivors = (
-            d.filter(
-                ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
-            )
-            if drops
-            else d
+    if drops is not None:
+        return apply_drop_list(spark, d, drops).select(
+            "doc_id", "source", "n_chars"
         )
-        return survivors.select("doc_id", "source", "n_chars")
     labels = cluster_labels(spark, pairs)
     drops_df = labels.filter(
         F.col("doc_id") != F.col("cluster_id")

@@ -934,6 +934,34 @@ def _driver_union_find(edge_rows) -> dict[int, int]:
     return {doc: find(doc) for doc in parent}
 
 
+_DROP_LITERAL_CAP = 1000
+
+
+def apply_drop_list(
+    spark: SparkSession, df: DataFrame, drops: list
+) -> DataFrame:
+    """Filter a ``doc_id``-keyed relation down to survivors given a
+    DRIVER-LOCAL drop list (from :func:`cluster_drop_ids`).
+
+    Small lists become one in-set scan predicate (null guard mirrors
+    the anti-join's null-keeping semantics).  Larger lists go back out
+    as a LocalRelation broadcast ANTI join: a multi-thousand-literal
+    ``In`` blows up plan analysis — the round-13 10x-docs core panel
+    measured dedup_minhash_survivors at **76 s** with a 48k-literal
+    predicate vs seconds as an anti-join, which is why the ceiling is
+    deliberately low."""
+    if not drops:
+        return df
+    if len(drops) <= _DROP_LITERAL_CAP:
+        return df.filter(
+            ~F.col("doc_id").isin(drops) | F.col("doc_id").isNull()
+        )
+    drops_df = spark.createDataFrame(
+        [(int(x),) for x in drops], "doc_id long"
+    )
+    return df.join(F.broadcast(drops_df), "doc_id", "left_anti")
+
+
 def cluster_drop_ids(spark: SparkSession, pairs: DataFrame) -> list | None:
     """Driver-local DROP list for the survivor keys: doc_ids whose
     component root is another doc (round-13, round-12 verdict item 1).

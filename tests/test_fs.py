@@ -309,3 +309,34 @@ def test_checksum_setter_exit_code_is_202():
     from s3spark.errors import S3InvalidCredentials
 
     assert S3InvalidCredentials("x").exit_code == 202
+
+
+def test_list_paths_local_fast_path_and_suffix(spark, bucket):
+    """Round-13: list_paths replaces ad-hoc os.walk in query paths.
+    Local prefixes (bare or file:) take the os.walk fast path; the
+    suffix filter and recursion semantics must match the Hadoop
+    route's contract."""
+    root = str(bucket / "src")
+    got = set(fs.list_paths(spark, root))
+    assert {os.path.basename(p) for p in got} == {
+        "archive.tar.gz", "data_a.csv", "data_b.csv", "c.txt",
+        "data_a.csv",
+    }
+    csvs = set(fs.list_paths(spark, root, suffix=".csv"))
+    assert {os.path.basename(p) for p in csvs} == {"data_a.csv", "data_b.csv"}
+    assert len(csvs) == 3  # dup basename in a/ is a distinct path
+    flat = set(fs.list_paths(spark, root, recursive=False))
+    assert {os.path.basename(p) for p in flat} == {
+        "archive.tar.gz", "data_a.csv", "data_b.csv",
+    }
+    # file: URL resolves to the same files as the bare path
+    via_url = set(fs.list_paths(spark, url(bucket / "src"), suffix=".csv"))
+    assert {p.split("/src/", 1)[1] for p in via_url} == {
+        p.split("/src/", 1)[1] for p in csvs
+    }
+
+
+def test_list_paths_missing_prefix_raises_201(spark, bucket):
+    with pytest.raises(S3FileNotFound) as ei:
+        fs.list_paths(spark, str(bucket / "nope"))
+    assert ei.value.exit_code == 201

@@ -412,3 +412,62 @@ def test_approx_distinct_within_tolerance_of_exact_and_duckdb(spark, duck, sf_di
         assert abs(est - duck_est[prio]) / exact[prio] < 2 * (0.01 + 0.016), (
             f"{prio}: spark HLL {est} vs duckdb HLL {duck_est[prio]}"
         )
+
+
+def test_explode_shingles_rejects_shadowing_columns(spark):
+    """Round-13 (r12 ADVICE): the shared shingle helper's internal
+    working names are collision-proofed; a docs/keep column that
+    would shadow them must raise, not silently resolve wrong."""
+    import pytest as _pytest
+
+    from s3spark.queries._prefix import explode_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x")], "doc_id long, text string, __sh_w string"
+    )
+    with _pytest.raises(ValueError, match="shadow"):
+        explode_shingles(df, 3, keep=("__sh_w",))
+
+
+def test_cluster_drop_ids_matches_label_derived_drops(spark, sf_dir):
+    """Round-13 survivor fold: the driver-local drop list must equal
+    the drop set derived from cluster_labels (same union-find over the
+    same capped edge collect)."""
+    from s3spark.queries.llm import (
+        cluster_drop_ids,
+        cluster_labels,
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    drops = cluster_drop_ids(spark, pairs)
+    assert drops is not None
+    labels = cluster_labels(spark, pairs)
+    expected = sorted(
+        r.doc_id
+        for r in labels.collect()
+        if r.doc_id != r.cluster_id
+    )
+    assert drops == expected
+
+
+def test_apply_drop_list_large_list_uses_anti_join(spark):
+    """Round-13 panel lesson: a multi-thousand-literal In blows up
+    plan analysis (76 s at 48k literals on the 10x-docs panel), so
+    apply_drop_list must dispatch big lists to a LocalRelation
+    broadcast anti-join — and both routes must select the same rows."""
+    from s3spark.queries.llm import _DROP_LITERAL_CAP, apply_drop_list
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    big = list(range(0, 4000, 2))  # 2000 > _DROP_LITERAL_CAP
+    assert len(big) > _DROP_LITERAL_CAP
+    out = apply_drop_list(spark, df, big)
+    assert "Join LeftAnti" in out._jdf.queryExecution().optimizedPlan().toString()
+    small = list(range(0, 40, 2))
+    out_small = apply_drop_list(spark, df, small)
+    plan_small = out_small._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan_small
+    expected_big = sorted(set(range(5000)) - set(big))
+    assert sorted(r.doc_id for r in out.collect()) == expected_big
+    expected_small = sorted(set(range(5000)) - set(small))
+    assert sorted(r.doc_id for r in out_small.collect()) == expected_small

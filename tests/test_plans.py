@@ -737,3 +737,36 @@ def test_row_scale_keys_have_no_global_sort_anywhere(spark, sf_dir):
         "global-sort range shuffle re-introduced on row-scale keys: "
         f"{offenders}"
     )
+
+
+def test_orphan_audit_preaggregates_no_expand(spark, sf_dir):
+    """Round-13: dq_referential_orphans pre-aggregates each fact by
+    its FK before the dim join, so no COUNT(DISTINCT) Expand remains —
+    the old plan tripled every fact row through Expand three times
+    (once per relationship).  Key-level join probes keep the 100 TB
+    join input at |distinct keys|, not |fact rows|."""
+    plan = plan_of(spark, sf_dir, "dq_referential_orphans")
+    assert "Expand" not in plan
+    # three relationships, each with a partial+final pre-aggregate
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_ngram_novelty_window_df_no_join(spark, sf_dir):
+    """Round-13: document frequency rides a window count over the
+    trigram key instead of a groupBy + join-back that replayed the
+    shingle subtree on both join sides — the plan has exactly one
+    shingle explode and no join at all."""
+    plan = plan_of(spark, sf_dir, "text_ngram_novelty")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Generate explode") == 1
+
+
+def test_decontaminate_hashes_tokens_in_codegen(spark, sf_dir):
+    """Round-13: the 8-gram key is a multi-argument xxhash64 over the
+    eight tokens in whole-stage codegen; the interpreted transform()
+    lambda (and the assembled n-gram string) are gone from the plan."""
+    plan = plan_of(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "xxhash64" in plan
+    assert "transform(" not in plan
+    assert "concat_ws" not in plan
