@@ -417,6 +417,23 @@ ORDER BY tok_a, tok_b
 """
 
 
+def _pmi_vocab(tok: DataFrame) -> DataFrame:
+    """Top-V vocabulary cut for cooccurrence_pmi — kept as a named
+    function so the TakeOrderedAndProject plan gate can assert on the
+    exact code object the key executes (round 13: the pres
+    localCheckpoint truncates the key's visible lineage, so the vocab
+    stage no longer appears in the final plan; the r12 pagerank gate
+    precedent — gate the checkpointed scan in the key plan and the
+    distributed top-K in the stage plan)."""
+    return (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_PMI_V)
+        .select("w")
+    )
+
+
 @register("cooccurrence_pmi", oracle=_PMI_ORACLE)
 def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over within-document token pairs,
@@ -437,13 +454,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vocab = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "w")
-        .limit(_PMI_V)
-        .select("w")
-    )
+    vocab = _pmi_vocab(tok)
     # localCheckpoint (round-13, guide §2.4): pres feeds THREE
     # consumers — dfreq and both self-join sides — and Spark plans are
     # trees, so the scan → explode → vocab-join → distinct subtree

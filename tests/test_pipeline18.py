@@ -140,20 +140,24 @@ def test_novelty_matches_pandas_replay(spark):
 
 
 def test_novelty_plan_shapes(spark):
-    """One distinct (doc,trigram) shuffle, map-side-combined df
-    aggregate, equi-join back on the same key (no extra exchange
-    family), bounded source rollup; no nested loop, no Python."""
+    """One distinct (doc,trigram) shuffle, df attached as a WINDOW
+    count over the trigram key (round 13 — the old groupBy +
+    equi-join-back shape replayed the shingle subtree on both join
+    sides; this gate previously pinned exactly 1 hash join and now
+    pins the strictly better 0-join form), bounded source rollup;
+    no nested loop, no Python."""
     plan = _plan(spark, "text_ngram_novelty")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "partial_count" in plan
+    assert "partial_count" in plan  # the per-doc/per-source aggregates
+    assert "Window" in plan
     n_hash_joins = (
         plan.count("BroadcastHashJoin")
         + plan.count("SortMergeJoin")
         + plan.count("ShuffledHashJoin")
     )
-    assert n_hash_joins == 1  # the df join back
+    assert n_hash_joins == 0  # df rides the window, no join back
 
 
 # ---------------------------------------------------------------------------

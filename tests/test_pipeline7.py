@@ -247,7 +247,25 @@ def test_pmi_bounds_and_support(spark):
 def test_pmi_vocab_cut_is_distributed_topk(spark):
     """The vocab bound must plan as TakeOrderedAndProject (distributed
     partial top-K), never a single-partition global window — same gate
-    as tokenizer_vocab_coverage."""
+    as tokenizer_vocab_coverage.  Round 13: the presence relation is
+    localCheckpoint'd (it fed three replayed consumers), which
+    truncates the key's visible lineage — so the top-K is asserted on
+    the vocab STAGE via the exact code object the key executes
+    (pipeline7._pmi_vocab), and the key plan is asserted to read the
+    checkpointed rows (ExistingRDD, the r12 pagerank gate precedent)."""
+    from pyspark.sql import functions as F
+
+    from s3spark.io import table
+    from s3spark.queries.pipeline7 import _pmi_vocab
+
+    tok = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab_plan = (
+        _pmi_vocab(tok)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in vocab_plan
+    assert "Window" not in vocab_plan
     plan = _plan(spark, "cooccurrence_pmi")
-    assert "TakeOrderedAndProject" in plan
+    assert "ExistingRDD" in plan  # pres + dfreq read the checkpoint
     assert "Window" not in plan
